@@ -1,0 +1,66 @@
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from transformer_transducer_tpu.utils.config import Config, load_config
+from transformer_transducer_tpu.utils.metrics import levenshtein, batch_cer, _levenshtein_numpy
+from transformer_transducer_tpu.utils.vocab import Vocabulary
+
+
+def test_config_missing_keys_are_none():
+    cfg = Config({"model": {"enc": {"n_layer": 4}}})
+    assert cfg.model.enc.n_layer == 4
+    assert cfg.model.enc.not_there is None
+    assert cfg.nothing is None
+    # reference-parity: undefined share_embedding must be falsy
+    assert not cfg.model.share_embedding
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a:\n  b: 3\n  c: [1, 2]\n")
+    cfg = load_config(str(p))
+    assert cfg.a.b == 3 and cfg.a.c == [1, 2]
+    cfg.override("a.d.e", 7)
+    assert cfg.a.d.e == 7
+
+
+def _brute_levenshtein(a, b):
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        dp[i][0] = i
+    for j in range(n + 1):
+        dp[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                           dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return dp[m][n]
+
+
+def test_levenshtein_random():
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        a = list(rng.randint(0, 5, size=rng.randint(0, 12)))
+        b = list(rng.randint(0, 5, size=rng.randint(0, 12)))
+        assert _levenshtein_numpy(a, b) == _brute_levenshtein(a, b)
+        assert levenshtein(a, b) == _brute_levenshtein(a, b)
+
+
+def test_batch_cer():
+    dist, total = batch_cer([[1, 2, 3]], [[1, 2, 4]])
+    assert dist == 1 and total == 3
+
+
+def test_vocab_roundtrip(tmp_path):
+    v = Vocabulary.from_symbols(["a", "b", "c", "<unk>"])
+    assert len(v) == 5 and v.word2index["<b>"] == 0
+    p = tmp_path / "vocab.txt"
+    v.save(str(p))
+    v2 = Vocabulary.from_file(str(p))
+    assert v2.word2index == v.word2index
+    assert v2.encode("abz") == [1, 2, v2.word2index["<unk>"]]
+    assert v2.decode([1, 2]) == ["a", "b"]

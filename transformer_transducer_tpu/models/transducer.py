@@ -1,0 +1,185 @@
+"""The Transformer-Transducer model family (native variant).
+
+Parity surface:
+
+* ``AudioEncoder``  <- reference ``BuildEncoder`` (``tt/encoder.py:32-50``):
+  N stacked rel-attention layers with per-layer position tables of
+  ``k_len = max_input_length``; **no input projection** — stacked-fbank
+  features must equal ``d_model``.
+* ``LabelEncoder``  <- reference ``BuildDecoder`` (``tt/decoder.py:23-45``):
+  ``Embedding(vocab, d_model, padding_idx=0)`` + layers with
+  ``k_len = max_target_length``.  ``padding_idx=0`` semantics (row 0 zero and
+  gradient-frozen) are reproduced by masking token-0 embeddings to zero.
+* ``JointNetwork``  <- reference ``JointNet`` (``tt/model.py:12-39``):
+  concat(enc, dec) -> Linear -> tanh -> Linear(vocab) with (B,T,U) broadcast.
+* ``Transducer``    <- reference ``Transducer`` (``tt/model.py:42-68``):
+  blank-prefixed targets, look-ahead label mask, no audio mask in training
+  forward (non-streaming; the streaming band mask is applied by inference
+  callers).
+
+TPU-first deviations: batch-major layout, bf16 compute option, and training
+never materializes the (B,T,U,V) joint output — the loss consumes encoder and
+label-encoder states directly (see ``ops/rnnt_loss.py``).  ``__call__``
+returning full logits is kept for API parity and tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from transformer_transducer_tpu.models.attention import TransformerXLLayer
+from transformer_transducer_tpu.ops.masks import look_ahead_mask
+
+
+class AudioEncoder(nn.Module):
+    n_layer: int
+    k_len: int
+    n_head: int
+    d_model: int
+    d_head: int
+    d_inner: int
+    dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, attn_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        x = inputs
+        for i in range(self.n_layer):
+            x = TransformerXLLayer(
+                k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
+                d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
+                compute_dtype=self.compute_dtype,
+                name=f"layer_{i}")(x, attn_mask, deterministic)
+        return x
+
+
+class LabelEncoder(nn.Module):
+    vocab_size: int
+    n_layer: int
+    k_len: int
+    n_head: int
+    d_model: int
+    d_head: int
+    d_inner: int
+    dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, attn_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        emb = nn.Embed(self.vocab_size, self.d_model, name="embedding",
+                       embedding_init=nn.initializers.normal(1.0))(tokens)
+        # padding_idx=0: token 0 embeds to an all-zero, gradient-free vector.
+        emb = emb * (tokens != 0)[..., None].astype(emb.dtype)
+        x = emb
+        for i in range(self.n_layer):
+            x = TransformerXLLayer(
+                k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
+                d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
+                compute_dtype=self.compute_dtype,
+                name=f"layer_{i}")(x, attn_mask, deterministic)
+        return x
+
+
+class JointNetwork(nn.Module):
+    inner_dim: int
+    vocab_size: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_state: jax.Array, dec_state: jax.Array) -> jax.Array:
+        """(B,T,D)+(B,U,D) -> (B,T,U,V); matching-rank inputs are concatenated
+        directly (the reference's vector-vector decode path)."""
+        if enc_state.ndim == 3 and dec_state.ndim == 3:
+            t, u = enc_state.shape[1], dec_state.shape[1]
+            enc_state = jnp.broadcast_to(enc_state[:, :, None, :],
+                                         enc_state.shape[:2] + (u,) + enc_state.shape[-1:])
+            dec_state = jnp.broadcast_to(dec_state[:, None, :, :],
+                                         (dec_state.shape[0], t) + dec_state.shape[1:])
+        concat = jnp.concatenate([enc_state, dec_state], axis=-1).astype(self.compute_dtype)
+        h = nn.Dense(self.inner_dim, name="forward_layer", dtype=self.compute_dtype)(concat)
+        h = jnp.tanh(h)
+        return nn.Dense(self.vocab_size, name="project_layer",
+                        dtype=self.compute_dtype)(h).astype(jnp.float32)
+
+
+class Transducer(nn.Module):
+    """Audio encoder + label encoder + joint network."""
+
+    vocab_size: int
+    enc: Tuple[int, ...]   # (n_layer, k_len, n_head, d_model, d_head, d_inner)
+    dec: Tuple[int, ...]
+    joint_inner: int
+    dropout: float = 0.0
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        e = self.enc
+        d = self.dec
+        self.encoder = AudioEncoder(n_layer=e[0], k_len=e[1], n_head=e[2],
+                                    d_model=e[3], d_head=e[4], d_inner=e[5],
+                                    dropout=self.dropout,
+                                    compute_dtype=self.compute_dtype)
+        self.decoder = LabelEncoder(vocab_size=self.vocab_size, n_layer=d[0],
+                                    k_len=d[1], n_head=d[2], d_model=d[3],
+                                    d_head=d[4], d_inner=d[5],
+                                    dropout=self.dropout,
+                                    compute_dtype=self.compute_dtype)
+        self.joint = JointNetwork(inner_dim=self.joint_inner,
+                                  vocab_size=self.vocab_size,
+                                  compute_dtype=self.compute_dtype)
+
+    def __call__(self, inputs: jax.Array, targets: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        """Full-logits forward: (B,T,D), (B,U) -> (B,T,U+1,V).
+
+        Matches reference ``Transducer.forward`` (``tt/model.py:58-68``):
+        blank-prefix targets, look-ahead label mask, no audio mask.
+        """
+        enc_state, dec_state = self.encode_both(inputs, targets, deterministic)
+        return self.joint(enc_state, dec_state)
+
+    def encode_both(self, inputs: jax.Array, targets: jax.Array,
+                    deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """Encoder + label-encoder states (no joint materialization).
+
+        This is the training hot path: the RNN-T loss kernel consumes these
+        directly so the (B,T,U,V) tensor never reaches HBM.
+        """
+        prefixed = jnp.pad(targets, ((0, 0), (1, 0)))          # blank prefix
+        label_mask = look_ahead_mask(prefixed.shape[1])
+        enc_state = self.encoder(inputs, None, deterministic)
+        dec_state = self.decoder(prefixed, label_mask, deterministic)
+        return enc_state, dec_state
+
+    def encode(self, inputs: jax.Array, attn_mask: Optional[jax.Array] = None,
+               deterministic: bool = True) -> jax.Array:
+        return self.encoder(inputs, attn_mask, deterministic)
+
+    def predict(self, tokens: jax.Array, attn_mask: Optional[jax.Array] = None,
+                deterministic: bool = True) -> jax.Array:
+        """Label-encoder forward (reference inference passes no mask)."""
+        return self.decoder(tokens, attn_mask, deterministic)
+
+    def joint_logits(self, enc_state: jax.Array, dec_state: jax.Array) -> jax.Array:
+        return self.joint(enc_state, dec_state)
+
+
+def build_transducer(model_cfg, compute_dtype=jnp.float32) -> Transducer:
+    """Construct a :class:`Transducer` from a reference-schema model config
+    (``config/*.yaml`` ``model:`` block, e.g. ``config/aishell.yaml:20-48``)."""
+    enc = (model_cfg.enc.n_layer, model_cfg.enc.max_input_length,
+           model_cfg.enc.n_head, model_cfg.enc.d_model,
+           model_cfg.enc.d_head, model_cfg.enc.d_inner)
+    dec = (model_cfg.dec.n_layer, model_cfg.dec.max_target_length,
+           model_cfg.dec.n_head, model_cfg.dec.d_model,
+           model_cfg.dec.d_head, model_cfg.dec.d_inner)
+    return Transducer(vocab_size=model_cfg.vocab_size, enc=enc, dec=dec,
+                      joint_inner=model_cfg.joint.inner_size,
+                      dropout=model_cfg.dropout or 0.0,
+                      compute_dtype=compute_dtype)

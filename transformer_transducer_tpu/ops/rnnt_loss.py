@@ -1,0 +1,280 @@
+"""RNN-T (transducer) loss — TPU-native XLA implementation.
+
+Replaces the reference's one native/C++ component, the external CUDA
+``warprnnt_pytorch.RNNTLoss`` (reference: ``train.py:13,231,53``,
+``espnet/nets/pytorch_backend/transducer/loss.py:8-77``), with a design built
+for XLA/TPU instead of a kernel translation:
+
+* The (T, U) lattice recursion is evaluated **along anti-diagonals**: every
+  cell on diagonal ``d = t + u`` depends only on diagonal ``d - 1``, so each
+  scan step is a pure vector op over ``(B, U+1)`` — no inner sequential loop,
+  ideal for the VPU.  The log-prob grids are pre-"skewed" so the scan indexes
+  rows instead of gathering diagonals.
+* The backward pass is an analytic custom VJP (beta recursion + occupancy
+  posteriors), not autodiff through the scan — O(1) residuals per cell.
+* ``fused_grid_logprobs`` computes the per-cell blank/label log-probs straight
+  from encoder/label-encoder states and the joint weights in T-chunks under
+  ``jax.checkpoint`` — the (B, T, U+1, V) joint tensor never exists in HBM
+  (the reference materializes it: ``tt/model.py:21-38``).
+
+A Pallas wavefront kernel with the same contract lives in
+``ops/pallas/rnnt_kernel.py``; ``rnnt_loss_grid`` is the XLA fallback and the
+test oracle for it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e30
+
+
+def _skew(lp: jax.Array) -> jax.Array:
+    """(B, T, U1) -> (B, D, U1) with skew[b, d, u] = lp[b, d - u, u].
+
+    Rows of the result are the lattice anti-diagonals.  Out-of-range cells
+    (d - u outside [0, T)) are NEG.
+    """
+    b, t, u1 = lp.shape
+    d_total = t + u1 - 1
+    d_idx = jnp.arange(d_total)[:, None]
+    u_idx = jnp.arange(u1)[None, :]
+    t_idx = d_idx - u_idx                                  # (D, U1)
+    valid = (t_idx >= 0) & (t_idx < t)
+    gathered = jnp.take_along_axis(
+        lp, jnp.clip(t_idx, 0, t - 1)[None].repeat(b, axis=0), axis=1)
+    return jnp.where(valid[None], gathered, NEG)
+
+
+def _unskew(skewed: jax.Array, t: int) -> jax.Array:
+    """Inverse of :func:`_skew`: (B, D, U1) -> (B, T, U1)."""
+    b, _, u1 = skewed.shape
+    t_idx = jnp.arange(t)[:, None]
+    u_idx = jnp.arange(u1)[None, :]
+    d_idx = (t_idx + u_idx)[None].repeat(b, axis=0)        # (B, T, U1)
+    return jnp.take_along_axis(skewed, d_idx, axis=1)
+
+
+def _shift_right_u(x: jax.Array, fill: float = NEG) -> jax.Array:
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]], axis=-1)
+
+
+def _shift_left_u(x: jax.Array, fill: float = NEG) -> jax.Array:
+    return jnp.concatenate(
+        [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, x.dtype)], axis=-1)
+
+
+def _logaddexp(a: jax.Array, b: jax.Array) -> jax.Array:
+    mx = jnp.maximum(a, b)
+    return mx + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+
+
+def _alpha_scan(skew_b: jax.Array, skew_l: jax.Array) -> jax.Array:
+    """Forward lattice pass; returns diag-major alpha (B, D, U1)."""
+    b, d_total, u1 = skew_b.shape
+    a0 = jnp.full((b, u1), NEG).at[:, 0].set(0.0)
+
+    def step(a, xs):
+        sb, sl = xs
+        nxt = _logaddexp(a + sb, _shift_right_u(a + sl))
+        return nxt, nxt
+
+    xs = (skew_b[:, :-1].swapaxes(0, 1), skew_l[:, :-1].swapaxes(0, 1))
+    _, rest = jax.lax.scan(step, a0, xs)
+    return jnp.concatenate([a0[None], rest], axis=0).swapaxes(0, 1)
+
+
+def _beta_scan(skew_b: jax.Array, skew_l: jax.Array,
+               terminal_mask: jax.Array) -> jax.Array:
+    """Backward lattice pass; returns diag-major beta' (B, D, U1).
+
+    beta'(t, u) includes the transition out of (t, u); the terminal cell
+    (T-1, U) is seeded with its final-blank log-prob via ``terminal_mask``.
+    """
+    b, d_total, u1 = skew_b.shape
+    inject = jnp.where(terminal_mask, skew_b, NEG)         # (B, D, U1)
+    bend = jnp.full((b, u1), NEG)
+
+    def step(nb, xs):
+        sb, sl, inj = xs
+        cur = _logaddexp(_logaddexp(sb + nb, sl + _shift_left_u(nb)), inj)
+        return cur, cur
+
+    xs = (skew_b.swapaxes(0, 1)[::-1], skew_l.swapaxes(0, 1)[::-1],
+          inject.swapaxes(0, 1)[::-1])
+    _, rev = jax.lax.scan(step, bend, xs)
+    return rev[::-1].swapaxes(0, 1)
+
+
+def _mask_label_grid(lp_l: jax.Array, u_len: jax.Array) -> jax.Array:
+    u1 = lp_l.shape[-1]
+    has_label = jnp.arange(u1)[None, :] < u_len[:, None]   # label exists at u
+    return jnp.where(has_label[:, None, :], lp_l, NEG)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def rnnt_loss_grid(lp_b: jax.Array, lp_l: jax.Array, t_len: jax.Array,
+                   u_len: jax.Array) -> jax.Array:
+    """Per-sequence RNN-T negative log-likelihood from log-prob grids.
+
+    Args:
+      lp_b: (B, T, U+1) log P(blank | t, u).
+      lp_l: (B, T, U+1) log P(y_{u+1} | t, u); column U is ignored.
+      t_len, u_len: (B,) true lengths.
+    Returns: (B,) losses.
+    """
+    loss, _ = _rnnt_fwd(lp_b, lp_l, t_len, u_len)
+    return loss
+
+
+def _rnnt_fwd(lp_b, lp_l, t_len, u_len):
+    lp_b = lp_b.astype(jnp.float32)
+    lp_l = _mask_label_grid(lp_l.astype(jnp.float32), u_len)
+    b, t, u1 = lp_b.shape
+    skew_b, skew_l = _skew(lp_b), _skew(lp_l)
+    alpha = _alpha_scan(skew_b, skew_l)
+    bi = jnp.arange(b)
+    d_final = t_len - 1 + u_len
+    log_z = (alpha[bi, d_final, u_len]
+             + lp_b[bi, jnp.maximum(t_len - 1, 0), u_len])
+    return -log_z, (skew_b, skew_l, alpha, log_z, t_len, u_len, t)
+
+
+def _rnnt_bwd(residuals, g):
+    skew_b, skew_l, alpha, log_z, t_len, u_len, t = residuals
+    b, d_total, u1 = skew_b.shape
+    d_final = t_len - 1 + u_len
+    terminal = ((jnp.arange(d_total)[None, :, None] == d_final[:, None, None])
+                & (jnp.arange(u1)[None, None, :] == u_len[:, None, None]))
+    beta = _beta_scan(skew_b, skew_l, terminal)
+
+    beta_next = jnp.concatenate(
+        [beta[:, 1:], jnp.full((b, 1, u1), NEG)], axis=1)   # beta' on diag d+1
+    lz = log_z[:, None, None]
+    # blank-transition posterior (+ the terminal final-blank), label posterior
+    occ_b = jnp.exp(alpha + skew_b + beta_next - lz)
+    occ_b += jnp.where(terminal, jnp.exp(alpha + skew_b - lz), 0.0)
+    occ_l = jnp.exp(alpha + skew_l + _shift_left_u(beta_next) - lz)
+
+    scale = -g[:, None, None]                               # dL/d(-log_z) chain
+    d_lp_b = _unskew(occ_b * scale, t)
+    d_lp_l = _unskew(occ_l * scale, t)
+    # masked label columns received NEG inside fwd -> zero grad there
+    has_label = jnp.arange(u1)[None, None, :] < u_len[:, None, None]
+    d_lp_l = jnp.where(has_label, d_lp_l, 0.0)
+    return d_lp_b, d_lp_l, None, None
+
+
+rnnt_loss_grid.defvjp(lambda lp_b, lp_l, t_len, u_len: _rnnt_fwd(lp_b, lp_l, t_len, u_len),
+                      _rnnt_bwd)
+
+
+def grid_logprobs_from_logits(logits: jax.Array, labels: jax.Array,
+                              blank: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """(B,T,U+1,V) logits -> blank/label log-prob grids (each (B,T,U+1))."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp_b = lp[..., blank]
+    u1 = logits.shape[2]
+    labels_pad = jnp.pad(labels, ((0, 0), (0, u1 - labels.shape[1])),
+                         constant_values=blank)
+    lp_l = jnp.take_along_axis(
+        lp, labels_pad[:, None, :, None].repeat(lp.shape[1], axis=1), axis=-1
+    )[..., 0]
+    return lp_b, lp_l
+
+
+def rnnt_loss(logits: jax.Array, labels: jax.Array, t_len: jax.Array,
+              u_len: jax.Array, blank: int = 0,
+              reduction: str = "mean") -> jax.Array:
+    """Drop-in equivalent of ``warprnnt_pytorch.RNNTLoss`` from full logits."""
+    lp_b, lp_l = grid_logprobs_from_logits(logits, labels, blank)
+    losses = rnnt_loss_grid(lp_b, lp_l, t_len, u_len)
+    if reduction == "mean":
+        return jnp.mean(losses)
+    if reduction == "sum":
+        return jnp.sum(losses)
+    return losses
+
+
+# ---------------------------------------------------------------------------
+# Fused joint + log-prob grids (memory-safe training path)
+# ---------------------------------------------------------------------------
+
+def joint_params_from_variables(variables) -> Tuple[jax.Array, ...]:
+    """Split a ``models.transducer.JointNetwork`` param tree into
+    (W_enc, W_dec, b1, W_out, b_out) — the concat Linear is row-partitioned."""
+    params = variables["params"] if "params" in variables else variables
+    joint = params["joint"] if "joint" in params else params
+    w1 = joint["forward_layer"]["kernel"]
+    b1 = joint["forward_layer"]["bias"]
+    w2 = joint["project_layer"]["kernel"]
+    b2 = joint["project_layer"]["bias"]
+    d_enc = w1.shape[0] // 2
+    return w1[:d_enc], w1[d_enc:], b1, w2, b2
+
+
+def fused_grid_logprobs(enc: jax.Array, dec: jax.Array, joint_params,
+                        labels: jax.Array, blank: int = 0,
+                        chunk_size: int = 32,
+                        compute_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Blank/label log-prob grids straight from encoder / label-encoder states.
+
+    Computes joint logits T-chunk by T-chunk under ``jax.checkpoint`` so the
+    full (B, T, U+1, V) tensor is never materialized; the backward pass
+    recomputes each chunk.  FLOP-dominant work (the two joint matmuls) stays
+    MXU-shaped.
+    """
+    w_enc, w_dec, b1, w_out, b_out = joint_params
+    b, t, _ = enc.shape
+    u1 = dec.shape[1]
+    pad_t = (-t) % chunk_size
+    enc_p = jnp.pad(enc, ((0, 0), (0, pad_t), (0, 0)))
+    n_chunks = (t + pad_t) // chunk_size
+    enc_chunks = enc_p.reshape(b, n_chunks, chunk_size, -1).swapaxes(0, 1)
+
+    labels_pad = jnp.pad(labels, ((0, 0), (0, u1 - labels.shape[1])),
+                         constant_values=blank)
+    dec_proj = dec.astype(compute_dtype) @ w_dec.astype(compute_dtype) + b1
+
+    @jax.checkpoint
+    def chunk_fn(enc_chunk):
+        h = enc_chunk.astype(compute_dtype) @ w_enc.astype(compute_dtype)
+        h = jnp.tanh(h[:, :, None, :] + dec_proj[:, None, :, :])
+        logits = (h @ w_out.astype(compute_dtype) + b_out).astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        lp_b = logits[..., blank] - lse
+        lp_l = jnp.take_along_axis(
+            logits, labels_pad[:, None, :, None].repeat(chunk_size, axis=1),
+            axis=-1)[..., 0] - lse
+        return lp_b, lp_l
+
+    lp_b, lp_l = jax.lax.map(chunk_fn, enc_chunks)
+    lp_b = lp_b.swapaxes(0, 1).reshape(b, t + pad_t, u1)[:, :t]
+    lp_l = lp_l.swapaxes(0, 1).reshape(b, t + pad_t, u1)[:, :t]
+    return lp_b, lp_l
+
+
+def rnnt_loss_fused(enc: jax.Array, dec: jax.Array, joint_params,
+                    labels: jax.Array, t_len: jax.Array, u_len: jax.Array,
+                    blank: int = 0, chunk_size: int = 32,
+                    reduction: str = "mean",
+                    compute_dtype=jnp.float32,
+                    use_pallas: Optional[bool] = None) -> jax.Array:
+    """End-to-end training loss from encoder/label-encoder states.
+
+    This is the path trainers use; it fuses the joint network into the loss
+    (never materializing (B,T,U,V)) and runs the lattice DP on the grids.
+    """
+    lp_b, lp_l = fused_grid_logprobs(enc, dec, joint_params, labels, blank,
+                                     chunk_size, compute_dtype)
+    losses = rnnt_loss_grid(lp_b, lp_l, t_len, u_len)
+    if reduction == "mean":
+        return jnp.mean(losses)
+    if reduction == "sum":
+        return jnp.sum(losses)
+    return losses
