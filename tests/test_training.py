@@ -1,0 +1,148 @@
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from data_helpers import make_corpus, tiny_train_config
+from transformer_transducer_tpu.training.trainer import Trainer
+from transformer_transducer_tpu.training import optim as optim_lib
+from transformer_transducer_tpu.training.train_step import (
+    TrainStepConfig, compile_train_step)
+from transformer_transducer_tpu.models.transducer import build_transducer
+from transformer_transducer_tpu.parallel import mesh as mesh_lib
+from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    vocab_path, csvs = make_corpus(root)
+    return root, vocab_path, csvs
+
+
+def test_trainer_end_to_end(corpus, tmp_path):
+    root, vocab_path, csvs = corpus
+    cfg = tiny_train_config(root, vocab_path, csvs)
+    trainer = Trainer(cfg, exp_root=str(tmp_path / "egs"))
+    train_loader, dev_loader = trainer.make_loaders()
+
+    losses = []
+    for epoch in range(2):
+        losses.append(trainer.train_epoch(epoch, train_loader))
+        trainer.save(epoch)
+    assert all(np.isfinite(losses))
+    assert losses[1] < losses[0]
+
+    cer = trainer.evaluate(1, dev_loader)
+    assert 0.0 <= cer  # random model: arbitrary but finite
+    assert os.path.exists(os.path.join(trainer.exp_dir, "decode_1.txt"))
+
+    # split checkpoint exists with all components
+    ckpt = ckpt_lib.latest_checkpoint(trainer.exp_dir)
+    assert ckpt and ckpt.endswith("epoch_1")
+    for comp in ["encoder", "decoder", "joint", "optimizer"]:
+        assert os.path.exists(os.path.join(ckpt, comp + ".msgpack"))
+
+
+def test_trainer_continue_mode(corpus, tmp_path):
+    root, vocab_path, csvs = corpus
+    cfg = tiny_train_config(root, vocab_path, csvs)
+    exp_root = str(tmp_path / "egs")
+    t1 = Trainer(cfg, exp_root=exp_root)
+    loader, _ = t1.make_loaders()
+    t1.train_epoch(0, loader)
+    t1.save(0)
+    step_before = t1.global_step
+    params_before = jax.device_get(t1.params)
+
+    t2 = Trainer(cfg, mode="continue", exp_root=exp_root)
+    assert t2.start_epoch == 1
+    assert t2.global_step == step_before
+    got = jax.device_get(t2.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), params_before, got)
+
+
+def test_sharded_train_step_8_devices(corpus):
+    """Data-parallel over the full 8-device CPU mesh; loss must match the
+    single-device step on identical inputs."""
+    root, vocab_path, csvs = corpus
+    cfg = tiny_train_config(root, vocab_path, csvs)
+    model = build_transducer(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    b, t, u, d = 8, 12, 4, 16
+    x = jax.random.normal(rng, (b, t, d))
+    y = jax.random.randint(jax.random.PRNGKey(1), (b, u), 1, 12)
+    batch = {"inputs": x, "targets": y,
+             "inputs_length": jnp.full((b,), t),
+             "targets_length": jnp.full((b,), u)}
+    variables = model.init(rng, x, y)
+    params = variables["params"]
+    tx = optim_lib.build_optimizer(cfg.optim, 200.0)
+    opt_state = tx.init(params)
+    scfg = TrainStepConfig(specaug=False)
+
+    mesh8 = mesh_lib.make_mesh(n_data=8)
+    step8 = compile_train_step(model, tx, mesh8, params, opt_state, scfg,
+                               donate=False)
+    p8, _, m8 = step8(params, opt_state, mesh_lib.shard_batch(batch, mesh8),
+                      jax.random.PRNGKey(2))
+
+    mesh1 = mesh_lib.make_mesh(n_data=1)
+    step1 = compile_train_step(model, tx, mesh1, params, opt_state, scfg,
+                               donate=False)
+    p1, _, m1 = step1(params, opt_state, mesh_lib.shard_batch(batch, mesh1),
+                      jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        jax.device_get(p8), jax.device_get(p1))
+
+
+def test_tensor_parallel_step_2x4_mesh(corpus):
+    """(data=4, model=2) mesh with TP param shardings compiles and matches."""
+    root, vocab_path, csvs = corpus
+    cfg = tiny_train_config(root, vocab_path, csvs)
+    model = build_transducer(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    b, t, u, d = 4, 12, 4, 16
+    x = jax.random.normal(rng, (b, t, d))
+    y = jax.random.randint(jax.random.PRNGKey(1), (b, u), 1, 12)
+    batch = {"inputs": x, "targets": y,
+             "inputs_length": jnp.full((b,), t),
+             "targets_length": jnp.full((b,), u)}
+    params = model.init(rng, x, y)["params"]
+    tx = optim_lib.build_optimizer(cfg.optim, 200.0)
+    opt_state = tx.init(params)
+    scfg = TrainStepConfig(specaug=False)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    step = compile_train_step(model, tx, mesh, params, opt_state, scfg,
+                              donate=False)
+    _, _, m = step(params, opt_state, mesh_lib.shard_batch(batch, mesh),
+                   jax.random.PRNGKey(2))
+
+    mesh1 = mesh_lib.make_mesh(n_data=1)
+    step1 = compile_train_step(model, tx, mesh1, params, opt_state, scfg,
+                               donate=False)
+    _, _, m1 = step1(params, opt_state, mesh_lib.shard_batch(batch, mesh1),
+                     jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m["loss"]), float(m1["loss"]), rtol=1e-4)
+
+
+def test_lr_decay_and_early_stop():
+    ctl = optim_lib.LRController(lr=1e-3, decay_ratio=0.1, begin_to_adjust=1)
+    assert ctl.maybe_decay(0)            # epoch 0 < begin: no decay
+    assert ctl.lr == 1e-3
+    assert ctl.maybe_decay(1)            # 1e-4
+    assert ctl.maybe_decay(2)            # 1e-5
+    assert abs(ctl.lr - 1e-5) < 1e-12
+    ctl.maybe_decay(3)                   # ~1e-6 (float-equal boundary)
+    assert not ctl.maybe_decay(4)        # 1e-7 -> below min -> stop

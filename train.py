@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Training entry point.
+
+CLI parity with the reference (``train.py:144-148``):
+    python train.py -config configs/joint_streaming.yaml -log train.log -mode retrain|continue
+plus TPU extensions: --bf16, --n_model (tensor-parallel axis), --augment,
+--set a.b.c=value config overrides.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-config", "--config", type=str,
+                        default="configs/joint_streaming.yaml")
+    parser.add_argument("-log", "--log", type=str, default="train.log")
+    parser.add_argument("-mode", "--mode", type=str, default="retrain",
+                        choices=["retrain", "continue"])
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (params stay f32)")
+    parser.add_argument("--n_model", type=int, default=1,
+                        help="tensor-parallel mesh axis size")
+    parser.add_argument("--n_data", type=int, default=None,
+                        help="data-parallel mesh axis size (default: all devices)")
+    parser.add_argument("--augment", action="store_true",
+                        help="enable waveform augmentation chain")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", help="config override (dotted key)")
+    args = parser.parse_args()
+
+    from transformer_transducer_tpu.utils.config import load_config
+    from transformer_transducer_tpu.training.trainer import Trainer
+
+    cfg = load_config(args.config)
+    for kv in args.set:
+        key, value = kv.split("=", 1)
+        try:
+            import ast
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        cfg.override(key, value)
+
+    trainer = Trainer(cfg, mode=args.mode, log_file=args.log,
+                      compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                      n_data=args.n_data, n_model=args.n_model)
+    trainer.logger.info("JAX backend: %s, devices: %s", jax.default_backend(),
+                        jax.devices())
+    trainer.fit(epochs=args.epochs, augment=args.augment)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""CSV-driven audio dataset with on-the-fly feature extraction.
+
+Parity surface: reference ``AudioDataset`` (``tt/dataset.py:72-120``):
+CSV rows of ``file_path,label`` -> wav read -> log10-eps mel
+(``get_feature2``) -> frame stack (left, right) -> subsample -> pad to fixed
+``max_input_length``/``max_target_length``; labels char-encoded with
+``<unk>`` fallback; target padding value = ``ignore_id`` (0 when unset, which
+is what the shipped configs rely on); optional per-speaker kaldi CMVN
+(``tt/dataset.py:26-34,61-69``); optional waveform augmentation (wired but
+disabled in the reference, ``tt/dataset.py:92``).
+
+Static shapes are a feature here, not a limitation: the reference pads to the
+same fixed lengths and then crops to the batch max at train time
+(``train.py:32-35``) — on TPU we keep the fixed pad (one compiled program)
+and let t_len/u_len carry the truth.
+"""
+
+from __future__ import annotations
+
+import csv
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from transformer_transducer_tpu.data.wav import read_wave
+from transformer_transducer_tpu.ops import features_np as F
+from transformer_transducer_tpu.ops.augment import audio_augment
+from transformer_transducer_tpu.utils.vocab import Vocabulary
+
+
+def read_manifest(path: str) -> List[Tuple[str, str]]:
+    """CSV with a ``file_path,label`` header (as produced by the reference's
+    corpus prep ``data/data_process.py:738-783`` and ours in ``data/prep.py``)."""
+    rows = []
+    with open(path, "r", encoding="utf-8") as fh:
+        reader = csv.reader(fh)
+        header = next(reader, None)
+        if header and header[0] != "file_path":  # headerless file: keep row
+            rows.append((header[0], header[1]))
+        for row in reader:
+            if row:
+                rows.append((row[0], row[1]))
+    return rows
+
+
+class CMVN:
+    """Per-speaker cepstral mean/variance normalization from kaldi-format
+    stats (reference ``tt/dataset.py:26-34,61-69``)."""
+
+    def __init__(self, utt2spk: Dict[str, str], stats: Dict[str, np.ndarray]):
+        self.utt2spk = utt2spk
+        self.stats = stats
+
+    def __call__(self, utt_id: str, mat: np.ndarray) -> np.ndarray:
+        st = self.stats[self.utt2spk[utt_id]]
+        count = st[0, -1]
+        mean = st[0, :-1] / count
+        var = st[1, :-1] / count - mean ** 2
+        return (mat - mean) / np.sqrt(var)
+
+
+class AudioDataset:
+    def __init__(self, data_cfg, split: str, vocab: Vocabulary,
+                 augment: bool = False, seed: int = 0,
+                 cmvn: Optional[CMVN] = None):
+        self.cfg = data_cfg
+        self.vocab = vocab
+        self.rows = read_manifest(data_cfg[split])
+        self.feature_dim = data_cfg.feature_dim or 128
+        self.left = data_cfg.left_context_width or 0
+        self.right = data_cfg.right_context_width or 0
+        self.subsample = data_cfg.subsample or 1
+        self.max_input_length = data_cfg.max_input_length
+        self.max_target_length = data_cfg.max_target_length
+        self.ignore_id = data_cfg.ignore_id or 0
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+        self.cmvn = cmvn
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, index: int):
+        path, label = self.rows[index]
+        targets = np.asarray(self.vocab.encode(label), dtype=np.int64)
+        wave, rate = read_wave(path)
+        if self.augment:
+            wave = audio_augment(self.rng, wave)
+        feats = F.logmel_eps(wave, rate, self.feature_dim)
+        if self.cmvn is not None:
+            feats = self.cmvn(path, feats)
+        feats = F.subsample(F.stack_frames(feats, self.left, self.right),
+                            self.subsample)
+
+        t_len = min(feats.shape[0], self.max_input_length)
+        u_len = min(len(targets), self.max_target_length)
+        feats_pad = np.zeros((self.max_input_length, feats.shape[1]), np.float32)
+        feats_pad[:t_len] = feats[:t_len]
+        tgt_pad = np.full((self.max_target_length,), self.ignore_id, np.int64)
+        tgt_pad[:u_len] = targets[:u_len]
+        return feats_pad, np.int64(t_len), tgt_pad, np.int64(u_len)

@@ -1,0 +1,70 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's 12-worker ``torch.utils.data.DataLoader``
+(``train.py:174-177``).  Feature extraction is numpy/np.fft heavy (releases
+the GIL), so a thread pool + bounded prefetch queue keeps the TPU fed without
+process-fork overhead.  Batches are dicts of stacked numpy arrays ready for
+``parallel.mesh.shard_batch``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 8, seed: int = 0, drop_last: bool = True,
+                 prefetch_batches: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch_batches
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        self.epoch += 1
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    ids = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    items = list(pool.map(self.dataset.__getitem__, ids))
+                    feats = np.stack([it[0] for it in items])
+                    t_len = np.stack([it[1] for it in items])
+                    tgts = np.stack([it[2] for it in items])
+                    u_len = np.stack([it[3] for it in items])
+                    out_q.put({"inputs": feats, "inputs_length": t_len,
+                               "targets": tgts, "targets_length": u_len})
+            out_q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

@@ -1,0 +1,126 @@
+"""Greedy RNN-T decoding — batched, jit-compiled, static shapes.
+
+Parity surface: reference ``Transducer.decode``/``recognize``
+(``tt/model.py:70-108``): start from blank token 0, for each frame take
+``argmax(joint(enc_t, dec_state))``; on a non-blank emission append the token
+and re-encode the full label history, taking the last position; at most one
+emission per frame.
+
+TPU-first redesign: the reference is a per-utterance Python loop with
+data-dependent re-encodes (``tt/model.py:76-88``).  Here the whole batch
+advances in one ``lax.scan`` over frames with a fixed token budget:
+
+* the token buffer is front-aligned with a **causal label mask**, so the
+  label-encoder output at position ``count-1`` is exactly the dynamic-length
+  result (the rel-position tables are shift-invariant for ``j <= i`` and the
+  causal mask removes the rel-shift wrap-around);
+* the label encoder is re-run every frame on the static buffer — identical
+  output when no token was emitted, so numerics match the reference's
+  "recompute only on emission" control flow.
+
+Deviation (deliberate): the reference passes **no** label mask at inference
+(``tt/model.py:75,88``), which feeds the rel-shift wrap-around values that the
+look-ahead-masked training never produced (``tt/model.py:62``).  The jit path
+uses the causal mask — the training-consistent choice and the only
+static-shape-exact one.  ``decode_reference_exact`` reproduces the unmasked
+reference behaviour bit-for-bit for parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.ops.masks import look_ahead_mask
+
+
+def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
+                  t_len: jax.Array, max_tokens: int = 43,
+                  blank: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Batched greedy decode.
+
+    Args:
+      enc_states: (B, T, D) encoder output.
+      t_len: (B,) valid frame counts.
+      max_tokens: static token budget (>= 1 + longest expected emission).
+    Returns:
+      tokens: (B, max_tokens) with tokens[:, 0] == blank seed,
+      counts: (B,) number of valid entries in ``tokens`` (including seed).
+    """
+    b, t_max, _ = enc_states.shape
+    label_mask = look_ahead_mask(max_tokens)
+
+    def predict_last(buf: jax.Array, count: jax.Array) -> jax.Array:
+        dec = model.apply(variables, buf, label_mask, method=Transducer.predict)
+        return jnp.take_along_axis(dec, (count - 1)[:, None, None].astype(jnp.int32)
+                                   .repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
+
+    def step(state, t):
+        buf, count, dec_state = state
+        logits = model.apply(variables, enc_states[:, t], dec_state,
+                             method=Transducer.joint_logits)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        valid = (t < t_len) & (pred != blank) & (count < max_tokens)
+        pos = jnp.where(valid, count, 0)
+        onehot = jax.nn.one_hot(pos, max_tokens, dtype=buf.dtype)
+        buf = jnp.where(valid[:, None],
+                        buf * (1 - onehot) + pred[:, None] * onehot, buf)
+        count = count + valid.astype(count.dtype)
+        new_dec = predict_last(buf, count)
+        dec_state = jnp.where(valid[:, None], new_dec, dec_state)
+        return (buf, count, dec_state), None
+
+    buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32)
+    count0 = jnp.ones((b,), dtype=jnp.int32)
+    dec0 = predict_last(buf0, count0)
+    (buf, count, _), _ = jax.lax.scan(step, (buf0, count0, dec0),
+                                      jnp.arange(t_max))
+    return buf, count
+
+
+def tokens_to_lists(tokens: np.ndarray, counts: np.ndarray) -> List[List[int]]:
+    """Strip the blank seed and padding -> python lists (reference returns
+    ``token_list[1:]``, ``tt/model.py:90``)."""
+    return [list(map(int, tokens[i, 1:counts[i]])) for i in range(len(counts))]
+
+
+def recognize(model: Transducer, variables, inputs: jax.Array,
+              t_len: jax.Array, audio_mask=None, max_tokens: int = 43,
+              jit: bool = True) -> List[List[int]]:
+    """Full offline recognition: encoder (no mask by default, as in the
+    reference eval path ``tt/model.py:92-108``) + batched greedy decode."""
+    def run(inputs, t_len):
+        enc = model.apply(variables, inputs, audio_mask, method=Transducer.encode)
+        return greedy_decode(model, variables, enc, t_len, max_tokens)
+
+    fn = jax.jit(run) if jit else run
+    tokens, counts = fn(inputs, t_len)
+    return tokens_to_lists(np.asarray(tokens), np.asarray(counts))
+
+
+def decode_reference_exact(model: Transducer, variables,
+                           enc_states_b: np.ndarray, t_len_b: int,
+                           blank: int = 0) -> List[int]:
+    """Bit-exact replica of the reference's unmasked greedy loop for ONE
+    utterance (``tt/model.py:70-90``) — dynamic shapes, no jit.  Test oracle
+    for :func:`greedy_decode` and the torch-parity suite."""
+    tokens = [blank]
+
+    def dec_last():
+        buf = jnp.asarray([tokens], dtype=jnp.int32)
+        dec = model.apply(variables, buf, None, method=Transducer.predict)
+        return dec[0, -1]
+
+    dec_state = dec_last()
+    for t in range(int(t_len_b)):
+        logits = model.apply(variables, jnp.asarray(enc_states_b[t]), dec_state,
+                             method=Transducer.joint_logits)
+        pred = int(jnp.argmax(logits))
+        if pred != blank:
+            tokens.append(pred)
+            dec_state = dec_last()
+    return tokens[1:]

@@ -1,0 +1,2 @@
+from transformer_transducer_tpu.parallel import mesh  # noqa: F401
+from transformer_transducer_tpu.parallel import sharding  # noqa: F401

@@ -1,0 +1,113 @@
+"""The pjit-sharded training step.
+
+Replaces the reference's step (``train.py:31-65``): crop-to-max-length +
+SpecAugment + forward + RNN-T loss + grad-clip(200) + optimizer step, with the
+TPU-native differences:
+
+* parallelism is a sharded jit program over a (data, model) mesh — the
+  equivalent of ``torch.nn.DataParallel`` at ``train.py:216-218`` but SPMD,
+  with XLA emitting the gradient all-reduce over ICI;
+* the joint network + log-softmax + RNN-T lattice run through the fused
+  memory-safe path (``ops/rnnt_loss.rnnt_loss_fused``) — no (B,T,U,V) tensor;
+* SpecAugment happens on device inside the step from an explicit PRNG key
+  (reference mutates the batch in place with global RNG, ``train.py:41-44``);
+* batch length cropping is replaced by static bucketing (XLA needs static
+  shapes); padding is already ignored by the loss via t_len/u_len.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.ops.rnnt_loss import (
+    joint_params_from_variables, rnnt_loss_fused)
+from transformer_transducer_tpu.ops.specaug import spec_augment
+from transformer_transducer_tpu.parallel import mesh as mesh_lib
+from transformer_transducer_tpu.parallel import sharding as sharding_lib
+
+
+@dataclasses.dataclass
+class TrainStepConfig:
+    specaug: bool = True
+    max_mask_time: int = 5
+    max_mask_frequency: int = 5
+    mask_num: int = 10
+    loss_chunk_size: int = 32
+    compute_dtype: Any = jnp.float32
+
+
+def make_loss_fn(model: Transducer, cfg: TrainStepConfig) -> Callable:
+    def loss_fn(params, batch: Dict[str, jax.Array], rng: jax.Array,
+                train: bool = True) -> jax.Array:
+        inputs = batch["inputs"]
+        if train and cfg.specaug:
+            rng, sa_rng = jax.random.split(rng)
+            inputs = spec_augment(sa_rng, inputs, cfg.max_mask_time,
+                                  cfg.max_mask_frequency, cfg.mask_num)
+        enc, dec = model.apply(
+            {"params": params}, inputs, batch["targets"],
+            deterministic=not train,
+            rngs={"dropout": rng} if train else {},
+            method=Transducer.encode_both)
+        jp = joint_params_from_variables(params)
+        return rnnt_loss_fused(enc, dec, jp, batch["targets"],
+                               batch["inputs_length"], batch["targets_length"],
+                               chunk_size=cfg.loss_chunk_size,
+                               compute_dtype=cfg.compute_dtype,
+                               reduction="mean")
+    return loss_fn
+
+
+def make_train_step(model: Transducer, tx: optax.GradientTransformation,
+                    cfg: Optional[TrainStepConfig] = None) -> Callable:
+    """Returns ``step(params, opt_state, batch, rng) ->
+    (params, opt_state, metrics)`` (un-jitted; see :func:`compile_train_step`)."""
+    cfg = cfg or TrainStepConfig()
+    loss_fn = make_loss_fn(model, cfg)
+
+    def step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "grad_norm": grad_norm}
+
+    return step
+
+
+def compile_train_step(model: Transducer, tx: optax.GradientTransformation,
+                       mesh, params, opt_state,
+                       cfg: Optional[TrainStepConfig] = None,
+                       donate: bool = True) -> Callable:
+    """jit the train step over a mesh: batch sharded on 'data', parameters
+    replicated (or tensor-parallel when the 'model' axis is >1)."""
+    step = make_train_step(model, tx, cfg)
+    pspecs = sharding_lib.param_shardings(params, mesh)
+    ospecs = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, P()), opt_state,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    bspec = mesh_lib.batch_sharding(mesh)
+    rspec = mesh_lib.replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(pspecs, ospecs, bspec, rspec),
+        out_shardings=(pspecs, ospecs, rspec),
+        donate_argnums=(0, 1) if donate else ())
+
+
+def make_eval_loss_step(model: Transducer,
+                        cfg: Optional[TrainStepConfig] = None) -> Callable:
+    cfg = cfg or TrainStepConfig()
+    loss_fn = make_loss_fn(model, cfg)
+
+    def eval_step(params, batch):
+        return loss_fn(params, batch, jax.random.PRNGKey(0), train=False)
+
+    return jax.jit(eval_step)
