@@ -32,6 +32,22 @@ import jax.numpy as jnp
 
 NEG = -1e30
 
+# Lattice-sweep backend: "auto" uses the Pallas wavefront kernels on TPU and
+# the XLA scans elsewhere; "on"/"off" force it (tests exercise both paths).
+_PALLAS_MODE = "auto"
+
+
+def configure_pallas(mode: str) -> None:
+    global _PALLAS_MODE
+    assert mode in ("auto", "on", "off")
+    _PALLAS_MODE = mode
+
+
+def _use_pallas() -> bool:
+    if _PALLAS_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return _PALLAS_MODE == "on"
+
 
 def _skew(lp: jax.Array) -> jax.Array:
     """(B, T, U1) -> (B, D, U1) with skew[b, d, u] = lp[b, d - u, u].
@@ -137,7 +153,11 @@ def _rnnt_fwd(lp_b, lp_l, t_len, u_len):
     lp_l = _mask_label_grid(lp_l.astype(jnp.float32), u_len)
     b, t, u1 = lp_b.shape
     skew_b, skew_l = _skew(lp_b), _skew(lp_l)
-    alpha = _alpha_scan(skew_b, skew_l)
+    if _use_pallas():
+        from transformer_transducer_tpu.ops.pallas.rnnt_kernel import alpha_scan_pallas
+        alpha = alpha_scan_pallas(skew_b, skew_l)
+    else:
+        alpha = _alpha_scan(skew_b, skew_l)
     bi = jnp.arange(b)
     d_final = t_len - 1 + u_len
     log_z = (alpha[bi, d_final, u_len]
@@ -151,7 +171,12 @@ def _rnnt_bwd(residuals, g):
     d_final = t_len - 1 + u_len
     terminal = ((jnp.arange(d_total)[None, :, None] == d_final[:, None, None])
                 & (jnp.arange(u1)[None, None, :] == u_len[:, None, None]))
-    beta = _beta_scan(skew_b, skew_l, terminal)
+    if _use_pallas():
+        from transformer_transducer_tpu.ops.pallas.rnnt_kernel import beta_scan_pallas
+        inject = jnp.where(terminal, skew_b, NEG)
+        beta = beta_scan_pallas(skew_b, skew_l, inject)
+    else:
+        beta = _beta_scan(skew_b, skew_l, terminal)
 
     beta_next = jnp.concatenate(
         [beta[:, 1:], jnp.full((b, 1, u1), NEG)], axis=1)   # beta' on diag d+1
