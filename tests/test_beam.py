@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.decoding.beam import beam_search, recognize_beam
+from transformer_transducer_tpu.decoding.greedy import (
+    greedy_decode, tokens_to_lists)
+from transformer_transducer_tpu.ops.masks import look_ahead_mask
+
+
+def _tiny_model(vocab=12, seed=0):
+    model = Transducer(vocab_size=vocab, enc=(1, 16, 2, 8, 4, 16),
+                       dec=(1, 8, 2, 8, 4, 16), joint_inner=12)
+    x = jnp.zeros((1, 4, 8))
+    y = jnp.zeros((1, 2), dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(seed), x, y)
+    return model, variables
+
+
+def _python_beam(model, variables, enc_b, t_len_b, w=5, max_tokens=8):
+    """Dynamic-shape oracle of the reference algorithm with causal-mask label
+    encoding (the jit path's semantics)."""
+    def dec_last(tokens):
+        buf = jnp.asarray([tokens], dtype=jnp.int32)
+        dec = model.apply(variables, buf, look_ahead_mask(len(tokens)),
+                          method=Transducer.predict)
+        return dec[0, -1]
+
+    def logp(tokens, t):
+        logits = model.apply(variables, jnp.asarray(enc_b[t]), dec_last(tokens),
+                             method=Transducer.joint_logits)
+        return np.array(jax.nn.log_softmax(logits))  # writable copy
+
+    beams = [[0] for _ in range(w)]
+    probs = np.zeros(w)
+    first = True
+    for t in range(t_len_b):
+        best = int(probs.argmax())
+        lp_best = logp(beams[best], t)
+        if int(lp_best.argmax()) == 0:
+            continue
+        cand_tok = np.zeros((w, w), dtype=int)
+        cand_val = np.zeros((w, w))
+        for i in range(w):
+            lp = logp(beams[i], t)
+            lp[0] = -1e30
+            order = np.argsort(-lp, kind="stable")[:w]
+            cand_tok[i] = order
+            cand_val[i] = lp[order]
+        if first:
+            new_beams = [beams[best] + [int(cand_tok[best, j])] for j in range(w)]
+            new_probs = cand_val[best].copy()
+            first = False
+        else:
+            flat = (probs[:, None] + cand_val).ravel()
+            top = np.argsort(-flat, kind="stable")[:w]
+            new_beams, new_probs = [], np.zeros(w)
+            for j, f in enumerate(top):
+                parent, k = divmod(f, w)
+                tok = int(cand_tok[parent, k])
+                nb = beams[parent] + [tok] if len(beams[parent]) < max_tokens else beams[parent]
+                new_beams.append(nb)
+                new_probs[j] = flat[f]
+        beams, probs = new_beams, new_probs
+    return beams[int(probs.argmax())][1:]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_beam_matches_python_oracle(seed):
+    model, variables = _tiny_model(seed=seed)
+    rng = np.random.RandomState(seed + 10)
+    t = 7
+    x = jnp.asarray(rng.randn(1, t, 8).astype(np.float32) * 2)
+    enc = model.apply(variables, x, None, method=Transducer.encode)
+    enc_np = np.asarray(enc)[0]
+    got = beam_search(model, variables, enc_np, t, beam_width=5, max_tokens=8)
+    ref = _python_beam(model, variables, enc_np, t, w=5, max_tokens=8)
+    assert got == ref, f"{got} != {ref}"
+
+
+def test_recognize_beam_end_to_end():
+    model, variables = _tiny_model(seed=2)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 6, 8).astype(np.float32))
+    res = recognize_beam(model, variables, x, jnp.asarray([6, 4]),
+                         max_tokens=8)
+    assert len(res) == 2
+    for r in res:
+        assert all(tok != 0 for tok in r)
+
+
+def test_beam_width_one_close_to_greedy():
+    """width-1 beam = greedy decisions whenever the gate fires; token set
+    should be a subsequence of greedy's (the gate skips some frames)."""
+    model, variables = _tiny_model(seed=4)
+    rng = np.random.RandomState(5)
+    t = 8
+    x = jnp.asarray(rng.randn(1, t, 8).astype(np.float32) * 2)
+    enc = model.apply(variables, x, None, method=Transducer.encode)
+    got = beam_search(model, variables, np.asarray(enc)[0], t, beam_width=1,
+                      max_tokens=8)
+    tokens, counts = greedy_decode(model, variables, enc, jnp.asarray([t]),
+                                   max_tokens=8)
+    greedy = tokens_to_lists(np.asarray(tokens), np.asarray(counts))[0]
+    assert got == greedy, f"width-1 beam {got} != greedy {greedy}"

@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.ops import features_np as F
+from transformer_transducer_tpu.ops.masks import context_mask
+from transformer_transducer_tpu.streaming.session import (
+    StreamingConfig, StreamingSession, chunked_encode)
+from transformer_transducer_tpu.decoding.greedy import greedy_decode, tokens_to_lists
+
+
+def _model(n_layer=2, d_model=16, vocab=12, seed=0):
+    model = Transducer(vocab_size=vocab, enc=(n_layer, 64, 2, d_model, 8, 32),
+                       dec=(1, 41, 2, d_model, 8, 32), joint_inner=16)
+    x = jnp.zeros((1, 8, d_model))
+    y = jnp.zeros((1, 4), dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(seed), x, y)
+    return model, variables
+
+
+def test_chunked_encode_equals_full_banded():
+    """Receptive-field halo windows must reproduce full-sequence banded
+    encoding exactly (SURVEY hard-part #2)."""
+    model, variables = _model()
+    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                          feature_dim=4, stack_left=3)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(37, 16).astype(np.float32)
+    # the rel-pos table slice depends on klen, so both sides must evaluate at
+    # the same padded length (see StreamingConfig.window_len)
+    fixed = 64
+    padded = np.zeros((fixed, 16), dtype=np.float32)
+    padded[:37] = feats
+    full_mask = context_mask(fixed, cfg.left_context, cfg.right_context)
+    full = np.asarray(model.apply(variables, jnp.asarray(padded[None]),
+                                  full_mask, method=Transducer.encode))[0, :37]
+    chunked = chunked_encode(model, variables, feats, cfg, fixed_len=fixed)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(chunked, full, rtol=2e-4, atol=2e-5)
+
+
+def test_window_padding_does_not_leak():
+    """Bucket padding beyond the window must not change effective frames
+    (the band mask bounds the receptive field)."""
+    model, variables = _model(seed=3)
+    rng = np.random.RandomState(1)
+    feats = rng.randn(20, 16).astype(np.float32)
+    mask32 = context_mask(32, 3, 2)
+    zeros = np.zeros((1, 32, 16), dtype=np.float32)
+    zeros[0, :20] = feats
+    garbage = zeros.copy()
+    garbage[0, 20:] = rng.randn(12, 16) * 5
+    ref = np.asarray(model.apply(variables, jnp.asarray(zeros), mask32,
+                                 method=Transducer.encode))[0]
+    got = np.asarray(model.apply(variables, jnp.asarray(garbage), mask32,
+                                 method=Transducer.encode))[0]
+    # frames whose receptive field stays inside the real region (2 layers x
+    # right 2 = 4 future frames) must be identical regardless of pad content
+    np.testing.assert_allclose(got[:16], ref[:16], rtol=2e-4, atol=2e-5)
+
+
+def test_feature_pipeline_matches_offline_with_aligned_hop():
+    """With a hop that is a multiple of the frame hop and the subsample
+    period, the session's smoothed feature stream equals offline features."""
+    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                          feature_dim=4, win_audio=4800 + 480, audio_step=4800)
+    model, variables = _model()
+    session = StreamingSession(model, variables, cfg)
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(16000) * 3000).astype(np.int16)
+    for i in range(0, len(wav), 1600):
+        session.accept_waveform(wav[i:i + 1600])
+    session.finalize()
+    got = session.subsampled
+
+    offline = F.subsample(F.stack_frames(
+        F.logmel_masked(wav, 16000, 4), 3, 0), 3)
+    n = got.shape[0]
+    assert n > 0
+    # windows re-extract features at shifted offsets: compare the stream's
+    # frame count and values where the audio window alignment is exact
+    np.testing.assert_allclose(got[:5], offline[:5], rtol=1e-4, atol=1e-4)
+
+
+def test_session_end_to_end_runs_and_matches_offline_greedy():
+    """Full pipeline on a synthetic wav: the streamed token sequence must
+    match offline banded-encode + greedy decode (same model, same features)."""
+    model, variables = _model(n_layer=2, seed=5)
+    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                          feature_dim=4, stack_left=3, subsample=3,
+                          win_audio=4800 + 480, audio_step=4800,
+                          label_history=40, window_len=64)
+    session = StreamingSession(model, variables, cfg)
+    rng = np.random.RandomState(4)
+    # short utterance: keeps emissions under the offline 41-token budget and
+    # the session's 40-token history cap so both paths see full history
+    wav = (np.sin(np.arange(12000) * 0.03) * 9000
+           + rng.randn(12000) * 1500).astype(np.int16)
+    out = []
+    for i in range(0, len(wav), 3000):
+        out += session.accept_waveform(wav[i:i + 3000])
+    out += session.finalize()
+    assert out == session.result
+
+    # offline: same feature stream -> full banded encode at the session's
+    # fixed window length -> greedy (short outputs: 40-token cap not hit)
+    feats = session.subsampled
+    fixed = cfg.window_len
+    assert feats.shape[0] <= fixed
+    padded = np.zeros((1, fixed, feats.shape[1]), dtype=np.float32)
+    padded[0, :feats.shape[0]] = feats
+    mask = context_mask(fixed, cfg.left_context, cfg.right_context)
+    enc = model.apply(variables, jnp.asarray(padded), mask,
+                      method=Transducer.encode)
+    tokens, counts = greedy_decode(model, variables, enc,
+                                   jnp.asarray([feats.shape[0]]),
+                                   max_tokens=41)
+    offline = tokens_to_lists(np.asarray(tokens), np.asarray(counts))[0]
+    assert out == offline, f"streamed {out} != offline {offline}"
+
+
+def test_sentence_split_on_blank_run():
+    model, variables = _model(seed=6)
+    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                          feature_dim=4, blank_split=2,
+                          win_audio=4800 + 480, audio_step=4800)
+    session = StreamingSession(model, variables, cfg)
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(30000) * 8000).astype(np.int16)
+    session.accept_waveform(wav)
+    session.finalize()
+    # segments partition the result
+    assert sum(session.segments, []) == session.result

@@ -1,0 +1,156 @@
+"""Width-5 beam search, functionally matching the reference algorithm.
+
+Parity surface: ``Transducer.beam_search`` (``tt/model.py:110-179``).  The
+reference algorithm (kept, quirks and all, because it defines the observable
+behaviour):
+
+* the frame axis advances gated on the CURRENT BEST hypothesis: expansion
+  happens only when ``argmax(joint(enc_t, dec_best))`` is non-blank
+  (:127-139) — there is no per-hypothesis blank continuation;
+* on expansion every hypothesis proposes its top-(width+1) tokens with blank
+  removed (equivalently: top-width over the non-blank vocab, :145-154);
+* the width x width children reduce to the best ``width`` by total log-prob
+  (:172-176); the first expansion instead seeds the beams from the best
+  hypothesis's top-width tokens (all initial beams are identical, :155-169);
+* result: best beam, blank seed stripped (:177-179).
+
+TPU redesign: the whole search is one ``lax.scan`` over frames with static
+(width, max_tokens) state; the label encoder runs batched over all beams
+(the reference re-encodes each beam's full history per frame in Python).
+Label-encoder caching uses the causal mask (see ``decoding/greedy.py``).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.ops.masks import look_ahead_mask
+
+NEG = -1e30
+
+
+def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
+                        t_len: jax.Array, beam_width: int = 5,
+                        max_tokens: int = 43, blank: int = 0):
+    """Beam search over a batch.  Returns (tokens (B, W, U), counts (B, W),
+    probs (B, W)) sorted best-first."""
+    b, t_max, _ = enc_states.shape
+    w = beam_width
+    label_mask = look_ahead_mask(max_tokens)
+
+    def predict_last(bufs: jax.Array, counts: jax.Array) -> jax.Array:
+        """(N, U) token buffers -> (N, D) label-encoder state at counts-1."""
+        dec = model.apply(variables, bufs, label_mask, method=Transducer.predict)
+        idx = (counts - 1)[:, None, None].astype(jnp.int32)
+        return jnp.take_along_axis(dec, idx.repeat(dec.shape[-1], -1), 1)[:, 0]
+
+    def joint(enc_t: jax.Array, dec: jax.Array) -> jax.Array:
+        return model.apply(variables, enc_t, dec, method=Transducer.joint_logits)
+
+    def step(state, t):
+        beams, counts, probs, first = state          # (B,W,U), (B,W), (B,W), (B,)
+        flat_beams = beams.reshape(b * w, max_tokens)
+        flat_counts = counts.reshape(b * w)
+        dec = predict_last(flat_beams, flat_counts).reshape(b, w, -1)
+
+        best = jnp.argmax(probs, axis=1)                       # (B,)
+        dec_best = jnp.take_along_axis(
+            dec, best[:, None, None].repeat(dec.shape[-1], -1), 1)[:, 0]
+        enc_t = enc_states[:, t]                               # (B, D)
+        gate_logits = joint(enc_t, dec_best)                   # (B, V)
+        expand = (jnp.argmax(gate_logits, -1) != blank) & (t < t_len)
+
+        # all-beam candidate scores
+        logits = joint(enc_t[:, None].repeat(w, 1).reshape(b * w, -1),
+                       dec.reshape(b * w, -1))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        logp = logp.at[:, blank].set(NEG)                      # non-blank top-w
+        vals, idxs = jax.lax.top_k(logp, w)                    # (B*W, W)
+        vals = vals.reshape(b, w, w)
+        idxs = idxs.reshape(b, w, w)
+
+        # children: first expansion seeds from the best row; otherwise 5x5
+        child_first = jnp.take_along_axis(
+            vals, best[:, None, None].repeat(w, 2), 1)[:, 0]   # (B, W)
+        tok_first = jnp.take_along_axis(
+            idxs, best[:, None, None].repeat(w, 2), 1)[:, 0]
+        parent_first = best[:, None].repeat(w, 1)
+
+        flat = (probs[:, :, None] + vals).reshape(b, w * w)
+        top_vals, top_flat = jax.lax.top_k(flat, w)            # (B, W)
+        parent_grid = top_flat // w
+        tok_grid = jnp.take_along_axis(
+            idxs.reshape(b, w * w), top_flat, 1)
+
+        new_probs = jnp.where(first[:, None], child_first, top_vals)
+        parents = jnp.where(first[:, None], parent_first, parent_grid)
+        new_toks = jnp.where(first[:, None], tok_first, tok_grid).astype(jnp.int32)
+
+        src_beams = jnp.take_along_axis(
+            beams, parents[:, :, None].repeat(max_tokens, 2), 1)
+        src_counts = jnp.take_along_axis(counts, parents, 1)
+        can_append = src_counts < max_tokens
+        onehot = jax.nn.one_hot(jnp.where(can_append, src_counts, 0),
+                                max_tokens, dtype=beams.dtype)
+        appended = jnp.where(can_append[:, :, None],
+                             src_beams * (1 - onehot) + new_toks[:, :, None] * onehot,
+                             src_beams)
+        appended_counts = src_counts + can_append.astype(counts.dtype)
+
+        e = expand[:, None]
+        beams = jnp.where(e[:, :, None], appended, beams)
+        counts = jnp.where(e, appended_counts, counts)
+        probs = jnp.where(e, new_probs, probs)
+        first = jnp.where(expand, False, first)
+        return (beams, counts, probs, first), None
+
+    @jax.jit
+    def run(t_len_arg):
+        del t_len_arg  # step closes over t_len; arg kept for cache keying
+        beams0 = jnp.full((b, w, max_tokens), blank, jnp.int32)
+        counts0 = jnp.ones((b, w), jnp.int32)
+        probs0 = jnp.zeros((b, w), jnp.float32)
+        first0 = jnp.ones((b,), bool)
+        (beams, counts, probs, _), _ = jax.lax.scan(
+            step, (beams0, counts0, probs0, first0), jnp.arange(t_max))
+
+        order = jnp.argsort(-probs, axis=1)
+        beams = jnp.take_along_axis(beams,
+                                    order[:, :, None].repeat(max_tokens, 2), 1)
+        counts = jnp.take_along_axis(counts, order, 1)
+        probs = jnp.take_along_axis(probs, order, 1)
+        return beams, counts, probs
+
+    return run(t_len)
+
+
+def beam_search(model: Transducer, variables, enc_states_b: np.ndarray,
+                t_len_b: int, beam_width: int = 5, max_tokens: int = 43,
+                blank: int = 0) -> List[int]:
+    """Single-utterance convenience wrapper; returns the best token list."""
+    beams, counts, _ = beam_search_batched(
+        model, variables, jnp.asarray(enc_states_b[None]),
+        jnp.asarray([t_len_b]), beam_width, max_tokens, blank)
+    best = np.asarray(beams)[0, 0]
+    n = int(np.asarray(counts)[0, 0])
+    return list(map(int, best[1:n]))
+
+
+def recognize_beam(model: Transducer, variables, inputs: jax.Array,
+                   t_len: jax.Array, audio_mask=None, beam_width: int = 5,
+                   max_tokens: int = 43) -> List[List[int]]:
+    """Batch recognition via beam search (reference
+    ``recognize_beam_search``, ``tt/model.py:181-198``)."""
+    enc = model.apply(variables, inputs, audio_mask, method=Transducer.encode)
+    beams, counts, _ = beam_search_batched(model, variables, enc, t_len,
+                                           beam_width, max_tokens)
+    out = []
+    for i in range(np.asarray(beams).shape[0]):
+        n = int(np.asarray(counts)[i, 0])
+        out.append(list(map(int, np.asarray(beams)[i, 0, 1:n])))
+    return out

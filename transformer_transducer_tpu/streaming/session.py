@@ -1,0 +1,347 @@
+"""Streaming recognition session (dynamic-window variant).
+
+Parity surface: ``audio/streamRec_unlimit_dynamic_window.py`` (the newer
+streaming app the reference's ``test.py:8-10`` launches).  The session keeps
+a growing feature pipeline with the reference's three smoothing rules and
+decodes receptive-field-exact encoder windows:
+
+* **feature smoothing** — per ~1 s audio window (15,999 samples, hop 15,519)
+  extract masked-log mel and drop the last 3 (incomplete) frames (:131-134);
+* **stack smoothing** — borrow 3 history log-mel frames before stacking, then
+  drop the 3 warm-up rows (:139-145);
+* **subsample phase** — align the ÷3 subsampling to the global frame index
+  via ``len(concat) % 3`` (:147-153);
+* **encoder window** — wait for ``n_layer*right`` future frames (or the final
+  chunk), take ``n_layer*left`` history frames as a halo, run the encoder
+  with the banded ``context_mask`` and keep only the halo-free frames
+  (:159-183);
+* **greedy joint** per effective frame against a cached label-encoder state,
+  recomputed from the last ≤40 tokens on each emission (:187-207);
+* **sentence split** after ≥15 consecutive blank frames (:193-196).
+
+Deliberate divergences (documented, not replicated):
+
+1. the reference slices effective frames as ``[left : -right]`` which is
+   ``[left:0]`` == empty when ``right == 0`` on the final chunk — the tail of
+   every utterance is silently dropped there; we slice correctly;
+2. the label-encoder cache uses the causal mask (see ``decoding/greedy.py``
+   for why that is the static-shape-exact, training-consistent choice).
+
+TPU design: the host keeps numpy ring buffers; encoder windows are padded to
+static length buckets (one compiled program per bucket — padding beyond the
+window cannot reach effective frames because the band mask bounds the
+receptive field), and the label-encoder cache is a fixed 41-slot buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.ops import features_np as F
+from transformer_transducer_tpu.ops.masks import context_mask, look_ahead_mask
+
+
+@dataclasses.dataclass
+class StreamingConfig:
+    left_context: int = 10
+    right_context: int = 2
+    n_layer: int = 18
+    feature_dim: int = 128
+    stack_left: int = 3
+    subsample: int = 3
+    win_audio: int = 15999
+    audio_step: int = 15519
+    sample_rate: int = 16000
+    label_history: int = 40
+    blank_split: int = 15
+    # Fixed encoder window length.  All windows are padded to this single
+    # static shape: one compiled program, and — crucially — one rel-position
+    # table slice.  The table slice depends on sequence length (reference
+    # ``tt/transformer.py:128-135`` takes the LAST klen rows), and the
+    # rel-shift wrap value at the in-band future offset j = i+2 reads slice
+    # row 0 = ``r_emb[k_len - klen]`` — so windows of different lengths
+    # produce genuinely different banded attention.  Fixing the window length
+    # is what makes chunked decoding equal full-sequence decoding exactly.
+    window_len: Optional[int] = None
+
+    @classmethod
+    def from_config(cls, cfg) -> "StreamingConfig":
+        return cls(left_context=cfg.model.enc.left_context or 10,
+                   right_context=cfg.model.enc.right_context or 2,
+                   n_layer=cfg.model.enc.n_layer,
+                   feature_dim=cfg.data.feature_dim or 128,
+                   stack_left=cfg.data.left_context_width or 3,
+                   subsample=cfg.data.subsample or 3)
+
+    @property
+    def left_len(self) -> int:
+        return self.n_layer * self.left_context
+
+    @property
+    def right_len(self) -> int:
+        return self.n_layer * self.right_context
+
+
+class StreamingSession:
+    def __init__(self, model: Transducer, variables, cfg: StreamingConfig,
+                 on_token: Optional[Callable[[int, bool], None]] = None):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.on_token = on_token
+        d_stacked = cfg.feature_dim * (1 + cfg.stack_left)
+        self._d = d_stacked
+        if cfg.window_len is None:
+            # per audio window: ~(win_audio/160+1) raw frames /subsample,
+            # plus halos, rounded up to a lane-friendly multiple of 64
+            new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
+            need = cfg.left_len + new_frames + cfg.right_len
+            cfg.window_len = -(-need // 64) * 64
+        self._encode = self._build_encode()
+        self._window_decode = self._build_window_decode()
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        self.audio = np.empty((0,), dtype=np.int16)
+        self.log_mel = np.empty((0, self.cfg.feature_dim), dtype=np.float32)
+        self.concat = np.empty((0, self._d), dtype=np.float32)
+        self.subsampled = np.empty((0, self._d), dtype=np.float32)
+        self.win_audio_position = 0
+        self.win_feature_position = 0
+        self.result: List[int] = []
+        self.segments: List[List[int]] = [[]]
+        self._finished = False
+        # device-side decode state: label ring buffer (blank seed + last <=40
+        # tokens), its fill count, cached label-encoder state, blank-run len
+        cap = self.cfg.label_history + 1
+        self._buf = jnp.zeros((1, cap), dtype=jnp.int32)
+        self._count = jnp.ones((1,), dtype=jnp.int32)
+        self._blank_run = jnp.zeros((1,), dtype=jnp.int32)
+        self._emitted_any = jnp.zeros((1,), dtype=jnp.int32)
+        self._dec_state = None
+
+    # ------------------------------------------------------------------
+    def _build_window_decode(self):
+        """One jitted program per window: greedy-joint every effective frame
+        against the cached label-encoder state, updating the <=40-token ring
+        buffer and blank-run counter on device (one host call per window,
+        not per frame)."""
+        cfg = self.cfg
+        cap = cfg.label_history + 1  # blank seed + history
+        mask = look_ahead_mask(cap)
+        e_max = cfg.window_len
+
+        def predict_last(buf, count):
+            dec = self.model.apply(self.variables, buf, mask,
+                                   method=Transducer.predict)
+            idx = (count - 1)[:, None, None].astype(jnp.int32)
+            return jnp.take_along_axis(
+                dec, idx.repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
+
+        length = cfg.window_len
+        left, right = cfg.left_context, cfg.right_context
+
+        @jax.jit
+        def window_decode(window, left_frame, n_eff, buf, count, dec_state,
+                          blank_run, emitted_any):
+            """Fused per-window program: banded encode + greedy joint scan —
+            ONE device call per window (the per-call dispatch latency is the
+            streaming bottleneck, not the FLOPs)."""
+            amask = context_mask(length, left, right)
+            enc = self.model.apply(self.variables, window[None], amask,
+                                   method=Transducer.encode)[0]
+            # pad before the dynamic slice so it never clamps
+            enc_pad = jnp.pad(enc, ((0, length), (0, 0)))
+            enc_eff = jax.lax.dynamic_slice_in_dim(enc_pad, left_frame, length)
+            def step(state, t):
+                buf, count, dec_state, blank_run, emitted_any = state
+                enc_t = jax.lax.dynamic_slice_in_dim(enc_eff, t, 1)
+                logits = self.model.apply(self.variables, enc_t, dec_state,
+                                          method=Transducer.joint_logits)
+                pred = jnp.argmax(logits[0]).astype(jnp.int32)
+                valid = (t < n_eff) & (pred != 0)
+                split = valid & (blank_run[0] >= cfg.blank_split) \
+                    & (emitted_any[0] > 0)
+
+                # ring append: shift history left once the buffer is full
+                pos = jnp.minimum(count[0], cap - 1)
+                appended = buf.at[0, pos].set(pred)
+                shifted = jnp.concatenate(
+                    [buf[:, :1], buf[:, 2:], pred[None, None]], axis=1)
+                new_buf = jnp.where(count[0] < cap, appended, shifted)
+                new_buf = jnp.where(valid, new_buf, buf)
+                new_count = jnp.where(valid, jnp.minimum(count + 1, cap), count)
+                new_dec = jnp.where(valid,
+                                    predict_last(new_buf, new_count), dec_state)
+                had_tokens = emitted_any[0] > 0
+                new_blank = jnp.where(
+                    valid, 0,
+                    blank_run + ((t < n_eff) & (pred == 0) & had_tokens))
+                new_emitted = emitted_any + valid
+                out_tok = jnp.where(valid, pred, 0)
+                return ((new_buf, new_count, new_dec, new_blank, new_emitted),
+                        (out_tok, split))
+
+            (buf, count, dec_state, blank_run, emitted_any), (toks, splits) = \
+                jax.lax.scan(step, (buf, count, dec_state, blank_run,
+                                    emitted_any), jnp.arange(e_max))
+            return buf, count, dec_state, blank_run, emitted_any, toks, splits
+
+        self._predict_last = jax.jit(predict_last)
+        return window_decode
+
+    def _build_encode(self):
+        """Stand-alone banded window encoder (diagnostics / tests; the hot
+        path uses the fused ``_window_decode`` program instead)."""
+        length = self.cfg.window_len
+        left, right = self.cfg.left_context, self.cfg.right_context
+
+        @jax.jit
+        def encode(x):
+            mask = context_mask(length, left, right)
+            return self.model.apply(self.variables, x, mask,
+                                    method=Transducer.encode)
+        return encode
+
+    # ------------------------------------------------------------------
+    def accept_waveform(self, samples: np.ndarray) -> List[int]:
+        """Append int16 samples; returns tokens newly emitted by processing
+        any complete audio windows."""
+        assert not self._finished, "session finished; call reset()"
+        self.audio = np.concatenate([self.audio, samples.astype(np.int16)])
+        emitted = []
+        while (self.win_audio_position + self.cfg.win_audio) <= len(self.audio):
+            win = self.audio[self.win_audio_position:
+                             self.win_audio_position + self.cfg.win_audio]
+            emitted += self._process_audio_window(win, last_clip=False)
+            self.win_audio_position += self.cfg.audio_step
+        return emitted
+
+    def finalize(self) -> List[int]:
+        """Flush the remaining audio (the reference's ``last_clip`` path)."""
+        assert not self._finished
+        self._finished = True
+        tail = self.audio[self.win_audio_position:]
+        emitted = []
+        if len(tail) >= 512:  # >= one FFT window of audio
+            emitted += self._process_audio_window(tail, last_clip=True)
+        else:
+            emitted += self._process_feature_windows(last_clip=True)
+        return emitted
+
+    # ------------------------------------------------------------------
+    def _process_audio_window(self, win_audio: np.ndarray,
+                              last_clip: bool) -> List[int]:
+        cfg = self.cfg
+        # 1. feature smoothing: drop the 3 frames whose audio is incomplete
+        feats = F.logmel_masked(win_audio, cfg.sample_rate, cfg.feature_dim)
+        if not last_clip:
+            feats = feats[:-3]
+        n_new = feats.shape[0]
+        if n_new <= 0:
+            return []
+        self.log_mel = np.concatenate([self.log_mel, feats])
+
+        # 2. stack smoothing: borrow `stack_left` history frames
+        borrow = cfg.stack_left
+        src = self.log_mel[-borrow - n_new:]
+        stacked = F.stack_frames(src, borrow, 0)[src.shape[0] - n_new:]
+        before = self.concat.shape[0]
+        self.concat = np.concatenate([self.concat, stacked])
+
+        # 3. subsample phase alignment: resume at the first global index
+        # >= `before` that is a multiple of the subsample factor — previous
+        # windows consumed exactly the multiples below `before`.
+        off = (-before) % cfg.subsample
+        new_sub = self.concat[before + off::cfg.subsample]
+        self.subsampled = np.concatenate([self.subsampled, new_sub])
+        return self._process_feature_windows(last_clip)
+
+    def _process_feature_windows(self, last_clip: bool) -> List[int]:
+        cfg = self.cfg
+        emitted = []
+        while True:
+            total = self.subsampled.shape[0]
+            future = total - self.win_feature_position
+            if future <= 0 or (not last_clip and future <= cfg.right_len):
+                break
+            left_frame = min(cfg.left_len, self.win_feature_position)
+            start = self.win_feature_position - left_frame
+            end = min(total, start + cfg.window_len)
+            # frames cut off by the window cap still need their right halo
+            right_frame = cfg.right_len if (end < total or not last_clip) else 0
+            window = self.subsampled[start:end]
+            n_eff = window.shape[0] - left_frame - right_frame
+            if n_eff <= 0:
+                break
+            emitted += self._decode_window(window, left_frame, n_eff)
+            self.win_feature_position += n_eff
+        return emitted
+
+    def _decode_window(self, window: np.ndarray, left_frame: int,
+                       n_eff: int) -> List[int]:
+        cfg = self.cfg
+        if self._dec_state is None:
+            self._dec_state = self._predict_last(self._buf, self._count)
+        length = cfg.window_len
+        assert window.shape[0] <= length
+        padded = np.zeros((length, window.shape[1]), np.float32)
+        padded[:window.shape[0]] = window
+        (self._buf, self._count, self._dec_state, self._blank_run,
+         self._emitted_any, toks, splits) = self._window_decode(
+            jnp.asarray(padded), jnp.asarray(left_frame, dtype=jnp.int32),
+            jnp.asarray(n_eff, dtype=jnp.int32), self._buf,
+            self._count, self._dec_state, self._blank_run, self._emitted_any)
+        toks = np.asarray(toks)[:n_eff]
+        splits = np.asarray(splits)[:n_eff]
+        emitted = []
+        for tok, split in zip(toks, splits):
+            if tok == 0:
+                continue
+            if split and self.segments[-1]:
+                self.segments.append([])
+            self.result.append(int(tok))
+            self.segments[-1].append(int(tok))
+            emitted.append(int(tok))
+            if self.on_token is not None:
+                self.on_token(int(tok), bool(split))
+        return emitted
+
+
+def chunked_encode(model: Transducer, variables, features: np.ndarray,
+                   cfg: StreamingConfig, step: Optional[int] = None,
+                   fixed_len: Optional[int] = None) -> np.ndarray:
+    """Chunk-by-chunk banded encoding of a full feature sequence with
+    receptive-field halos.  With every window padded to ``fixed_len`` this
+    equals full-sequence banded encoding at the same padded length exactly
+    (property-tested) — see ``StreamingConfig.window_len`` for why the
+    length must be pinned."""
+    t = features.shape[0]
+    step = step or max(cfg.right_len, 1)
+    fixed_len = fixed_len or (cfg.left_len + step + cfg.right_len)
+    left, right = cfg.left_context, cfg.right_context
+    mask = context_mask(fixed_len, left, right)
+    session_enc = []
+    pos = 0
+    while pos < t:
+        end = min(pos + step + cfg.right_len, t)
+        left_frame = min(cfg.left_len, pos)
+        start = pos - left_frame
+        right_frame = cfg.right_len if end < t else 0
+        window = features[start:end]
+        assert window.shape[0] <= fixed_len
+        padded = np.zeros((fixed_len, features.shape[1]), dtype=np.float32)
+        padded[:window.shape[0]] = window
+        enc = np.asarray(model.apply(variables, jnp.asarray(padded[None]),
+                                     mask, method=Transducer.encode))[0]
+        effective = enc[left_frame:window.shape[0] - right_frame]
+        session_enc.append(effective)
+        pos += effective.shape[0]
+    return np.concatenate(session_enc, axis=0)
