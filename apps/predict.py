@@ -64,7 +64,7 @@ def main():
         t, cfg.model.enc.left_context or 10, cfg.model.enc.right_context or 2)
 
     enc = model.apply(variables, jnp.asarray(feats[None]), mask,
-                      method=Transducer.encode)
+                      method="encode")
     if args.beam:
         from transformer_transducer_tpu.decoding.beam import beam_search
         pred = beam_search(model, variables, np.asarray(enc)[0], t,

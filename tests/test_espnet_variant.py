@@ -1,0 +1,172 @@
+"""Numerics parity of the ESPnet-variant family vs the reference torch code."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from transformer_transducer_tpu.models.espnet_variant import (
+    EspnetTransformerEncoder, AdditiveJointNetwork, EspnetTransducer,
+    rel_positional_encoding, build_espnet_transducer,
+    joint_params_from_espnet_variables)
+from transformer_transducer_tpu.utils import torch_convert as tc
+from transformer_transducer_tpu.utils.config import Config
+
+
+def _load_ref_espnet():
+    for name, attrs in [("typeguard", {"check_argument_types": lambda *a, **k: True}),
+                        ("librosa", {}), ("editdistance", {"eval": lambda a, b: 0}),
+                        ("warprnnt_pytorch", {"RNNTLoss": object})]:
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from espnet2.asr.encoder.transformer_encoder import TransformerEncoder
+    from espnet.nets.pytorch_backend.transducer.joint_network import JointNetwork
+    return TransformerEncoder, JointNetwork
+
+
+def _to_np(m):
+    return {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+
+def test_rel_positional_encoding_matches_espnet():
+    _load_ref_espnet()
+    from espnet.nets.pytorch_backend.transformer.embedding import RelPositionalEncoding
+    mod = RelPositionalEncoding(16, dropout_rate=0.0, max_len=9)
+    mod.eval()
+    with torch.no_grad():
+        _, pos = mod(torch.zeros(1, 9, 16))
+    ours = rel_positional_encoding(9, 16)
+    np.testing.assert_allclose(ours, pos.numpy()[0], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("masks", [(-1, -1), (3, 1)])
+def test_encoder_parity(masks):
+    TransformerEncoder, _ = _load_ref_espnet()
+    torch.manual_seed(0)
+    ref = TransformerEncoder(input_size=16, output_size=16, attention_heads=2,
+                             linear_units=32, num_blocks=2, dropout_rate=0.0,
+                             positional_dropout_rate=0.0,
+                             attention_dropout_rate=0.0, input_layer=None,
+                             pos_enc_layer_type="rel_pos",
+                             selfattention_layer_type="rel_selfattn")
+    ref.eval()
+    x = np.random.RandomState(0).randn(2, 9, 16).astype(np.float32)
+    lens = torch.tensor([9, 7])
+    with torch.no_grad():
+        ref_out, _, _ = ref(torch.from_numpy(x), lens, left_mask=masks[0],
+                            right_mask=masks[1])
+
+    model = EspnetTransformerEncoder(output_size=16, attention_heads=2,
+                                     linear_units=32, num_blocks=2,
+                                     dropout_rate=0.0,
+                                     positional_dropout_rate=0.0,
+                                     attention_dropout_rate=0.0,
+                                     input_layer=None)
+    variables = {"params": jax.tree_util.tree_map(
+        jnp.asarray, tc.espnet_encoder_params(_to_np(ref)))}
+    got, _ = model.apply(variables, jnp.asarray(x), jnp.asarray([9, 7]),
+                         masks[0], masks[1])
+    got = np.asarray(got)
+    # padded region of row 1 (frames 7..8) differs (espnet zeroes masked rows
+    # inside attention); compare valid frames
+    np.testing.assert_allclose(got[0], ref_out.numpy()[0], rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(got[1, :7], ref_out.numpy()[1, :7],
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_embed_input_layer_and_padding_idx():
+    TransformerEncoder, _ = _load_ref_espnet()
+    torch.manual_seed(1)
+    vocab = 11
+    ref = TransformerEncoder(input_size=vocab, output_size=16,
+                             attention_heads=2, linear_units=32, num_blocks=1,
+                             dropout_rate=0.0, positional_dropout_rate=0.0,
+                             attention_dropout_rate=0.0, input_layer="embed",
+                             pos_enc_layer_type="rel_pos",
+                             selfattention_layer_type="rel_selfattn",
+                             padding_idx=-1)
+    ref.eval()
+    toks = np.array([[10, 3, 5, 1]], dtype=np.int64)  # 10 == padding row V-1
+    with torch.no_grad():
+        ref_out, _, _ = ref(torch.from_numpy(toks), torch.tensor([4]),
+                            left_mask=2, right_mask=0)
+    model = EspnetTransformerEncoder(output_size=16, attention_heads=2,
+                                     linear_units=32, num_blocks=1,
+                                     dropout_rate=0.0,
+                                     positional_dropout_rate=0.0,
+                                     attention_dropout_rate=0.0,
+                                     input_layer="embed", input_size=vocab,
+                                     padding_idx=-1)
+    variables = {"params": jax.tree_util.tree_map(
+        jnp.asarray, tc.espnet_encoder_params(_to_np(ref)))}
+    got, _ = model.apply(variables, jnp.asarray(toks), jnp.asarray([4]), 2, 0)
+    np.testing.assert_allclose(np.asarray(got)[0], ref_out.numpy()[0],
+                               rtol=1e-3, atol=5e-4)
+
+
+def test_joint_parity():
+    _, JointNetwork = _load_ref_espnet()
+    torch.manual_seed(2)
+    ref = JointNetwork(vocab_size=11, encoder_output_size=16,
+                       decoder_output_size=16, joint_space_size=12,
+                       joint_activation_type="tanh")
+    ref.eval()
+    rng = np.random.RandomState(1)
+    enc = rng.randn(2, 5, 16).astype(np.float32)
+    dec = rng.randn(2, 4, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(enc).unsqueeze(2),
+                      torch.from_numpy(dec).unsqueeze(1)).numpy()
+    model = AdditiveJointNetwork(vocab_size=11, joint_space_size=12)
+    variables = {"params": jax.tree_util.tree_map(
+        jnp.asarray, tc.espnet_joint_params(_to_np(ref)))}
+    got = model.apply(variables, jnp.asarray(enc), jnp.asarray(dec))
+    np.testing.assert_allclose(np.asarray(got), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_full_model_and_fused_loss():
+    """Build from the espnet_aishell-style config block, check shapes and the
+    fused-loss path against full logits."""
+    import transformer_transducer_tpu.ops.rnnt_loss as rl
+    cfg = Config({
+        "enc": {"input_size": 16, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 2, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": None, "padding_idx": -1},
+        "dec": {"input_size": 11, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "embed", "padding_idx": -1},
+        "joint": {"vocab_size": 11, "encoder_output_size": 16,
+                  "decoder_output_size": 16, "joint_space_size": 12,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": 3, "encoder_right_mask": 1,
+                 "decoder_left_mask": 2},
+    })
+    model = build_espnet_transducer(cfg)
+    rng = np.random.RandomState(3)
+    speech = jnp.asarray(rng.randn(2, 9, 16).astype(np.float32))
+    s_len = jnp.asarray([9, 7])
+    text = jnp.asarray(rng.randint(1, 10, size=(2, 4)))
+    t_len = jnp.asarray([4, 3])
+    variables = model.init(jax.random.PRNGKey(0), speech, s_len, text, t_len)
+    logits = model.apply(variables, speech, s_len, text, t_len)
+    assert logits.shape == (2, 9, 5, 11)
+
+    full = rl.rnnt_loss(logits, text, s_len, t_len, reduction="none")
+    enc, dec = model.apply(variables, speech, s_len, text, t_len,
+                           method=EspnetTransducer.encode_both)
+    jp = joint_params_from_espnet_variables(variables)
+    fused = rl.rnnt_loss_fused(enc, dec, jp, text, s_len, t_len,
+                               chunk_size=4, reduction="none")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(full), rtol=2e-3)

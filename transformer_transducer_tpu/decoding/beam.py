@@ -45,12 +45,12 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
 
     def predict_last(bufs: jax.Array, counts: jax.Array) -> jax.Array:
         """(N, U) token buffers -> (N, D) label-encoder state at counts-1."""
-        dec = model.apply(variables, bufs, label_mask, method=Transducer.predict)
+        dec = model.apply(variables, bufs, label_mask, method="predict")
         idx = (counts - 1)[:, None, None].astype(jnp.int32)
         return jnp.take_along_axis(dec, idx.repeat(dec.shape[-1], -1), 1)[:, 0]
 
     def joint(enc_t: jax.Array, dec: jax.Array) -> jax.Array:
-        return model.apply(variables, enc_t, dec, method=Transducer.joint_logits)
+        return model.apply(variables, enc_t, dec, method="joint_logits")
 
     def step(state, t):
         beams, counts, probs, first = state          # (B,W,U), (B,W), (B,W), (B,)
@@ -146,7 +146,7 @@ def recognize_beam(model: Transducer, variables, inputs: jax.Array,
                    max_tokens: int = 43) -> List[List[int]]:
     """Batch recognition via beam search (reference
     ``recognize_beam_search``, ``tt/model.py:181-198``)."""
-    enc = model.apply(variables, inputs, audio_mask, method=Transducer.encode)
+    enc = model.apply(variables, inputs, audio_mask, method="encode")
     beams, counts, _ = beam_search_batched(model, variables, enc, t_len,
                                            beam_width, max_tokens)
     out = []

@@ -55,14 +55,14 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
     label_mask = look_ahead_mask(max_tokens)
 
     def predict_last(buf: jax.Array, count: jax.Array) -> jax.Array:
-        dec = model.apply(variables, buf, label_mask, method=Transducer.predict)
+        dec = model.apply(variables, buf, label_mask, method="predict")
         return jnp.take_along_axis(dec, (count - 1)[:, None, None].astype(jnp.int32)
                                    .repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
 
     def step(state, t):
         buf, count, dec_state = state
         logits = model.apply(variables, enc_states[:, t], dec_state,
-                             method=Transducer.joint_logits)
+                             method="joint_logits")
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         valid = (t < t_len) & (pred != blank) & (count < max_tokens)
         pos = jnp.where(valid, count, 0)
@@ -94,7 +94,7 @@ def recognize(model: Transducer, variables, inputs: jax.Array,
     """Full offline recognition: encoder (no mask by default, as in the
     reference eval path ``tt/model.py:92-108``) + batched greedy decode."""
     def run(inputs, t_len):
-        enc = model.apply(variables, inputs, audio_mask, method=Transducer.encode)
+        enc = model.apply(variables, inputs, audio_mask, method="encode")
         return greedy_decode(model, variables, enc, t_len, max_tokens)
 
     fn = jax.jit(run) if jit else run
@@ -112,13 +112,13 @@ def decode_reference_exact(model: Transducer, variables,
 
     def dec_last():
         buf = jnp.asarray([tokens], dtype=jnp.int32)
-        dec = model.apply(variables, buf, None, method=Transducer.predict)
+        dec = model.apply(variables, buf, None, method="predict")
         return dec[0, -1]
 
     dec_state = dec_last()
     for t in range(int(t_len_b)):
         logits = model.apply(variables, jnp.asarray(enc_states_b[t]), dec_state,
-                             method=Transducer.joint_logits)
+                             method="joint_logits")
         pred = int(jnp.argmax(logits))
         if pred != blank:
             tokens.append(pred)

@@ -140,7 +140,7 @@ class StreamingSession:
 
         def predict_last(buf, count):
             dec = self.model.apply(self.variables, buf, mask,
-                                   method=Transducer.predict)
+                                   method="predict")
             idx = (count - 1)[:, None, None].astype(jnp.int32)
             return jnp.take_along_axis(
                 dec, idx.repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
@@ -156,7 +156,7 @@ class StreamingSession:
             streaming bottleneck, not the FLOPs)."""
             amask = context_mask(length, left, right)
             enc = self.model.apply(self.variables, window[None], amask,
-                                   method=Transducer.encode)[0]
+                                   method="encode")[0]
             # pad before the dynamic slice so it never clamps
             enc_pad = jnp.pad(enc, ((0, length), (0, 0)))
             enc_eff = jax.lax.dynamic_slice_in_dim(enc_pad, left_frame, length)
@@ -164,7 +164,7 @@ class StreamingSession:
                 buf, count, dec_state, blank_run, emitted_any = state
                 enc_t = jax.lax.dynamic_slice_in_dim(enc_eff, t, 1)
                 logits = self.model.apply(self.variables, enc_t, dec_state,
-                                          method=Transducer.joint_logits)
+                                          method="joint_logits")
                 pred = jnp.argmax(logits[0]).astype(jnp.int32)
                 valid = (t < n_eff) & (pred != 0)
                 split = valid & (blank_run[0] >= cfg.blank_split) \
@@ -207,7 +207,7 @@ class StreamingSession:
         def encode(x):
             mask = context_mask(length, left, right)
             return self.model.apply(self.variables, x, mask,
-                                    method=Transducer.encode)
+                                    method="encode")
         return encode
 
     # ------------------------------------------------------------------
@@ -340,7 +340,7 @@ def chunked_encode(model: Transducer, variables, features: np.ndarray,
         padded = np.zeros((fixed_len, features.shape[1]), dtype=np.float32)
         padded[:window.shape[0]] = window
         enc = np.asarray(model.apply(variables, jnp.asarray(padded[None]),
-                                     mask, method=Transducer.encode))[0]
+                                     mask, method="encode"))[0]
         effective = enc[left_frame:window.shape[0] - right_frame]
         session_enc.append(effective)
         pos += effective.shape[0]

@@ -43,7 +43,11 @@ class TrainStepConfig:
     compute_dtype: Any = jnp.float32
 
 
-def make_loss_fn(model: Transducer, cfg: TrainStepConfig) -> Callable:
+def make_loss_fn(model, cfg: TrainStepConfig) -> Callable:
+    from transformer_transducer_tpu.models.espnet_variant import (
+        EspnetTransducer, joint_params_from_espnet_variables)
+    is_espnet = isinstance(model, EspnetTransducer)
+
     def loss_fn(params, batch: Dict[str, jax.Array], rng: jax.Array,
                 train: bool = True) -> jax.Array:
         inputs = batch["inputs"]
@@ -51,12 +55,18 @@ def make_loss_fn(model: Transducer, cfg: TrainStepConfig) -> Callable:
             rng, sa_rng = jax.random.split(rng)
             inputs = spec_augment(sa_rng, inputs, cfg.max_mask_time,
                                   cfg.max_mask_frequency, cfg.mask_num)
-        enc, dec = model.apply(
-            {"params": params}, inputs, batch["targets"],
-            deterministic=not train,
-            rngs={"dropout": rng} if train else {},
-            method=Transducer.encode_both)
-        jp = joint_params_from_variables(params)
+        common = dict(deterministic=not train,
+                      rngs={"dropout": rng} if train else {},
+                      method="encode_both")
+        if is_espnet:
+            enc, dec = model.apply({"params": params}, inputs,
+                                   batch["inputs_length"], batch["targets"],
+                                   batch["targets_length"], **common)
+            jp = joint_params_from_espnet_variables(params)
+        else:
+            enc, dec = model.apply({"params": params}, inputs,
+                                   batch["targets"], **common)
+            jp = joint_params_from_variables(params)
         return rnnt_loss_fused(enc, dec, jp, batch["targets"],
                                batch["inputs_length"], batch["targets_length"],
                                chunk_size=cfg.loss_chunk_size,

@@ -57,7 +57,17 @@ class Trainer:
         self.vocab = Vocabulary.from_file(config.data.vocab)
         self.logger.info("Loaded vocabulary: %d units", len(self.vocab))
 
-        self.model = build_transducer(config.model, compute_dtype=compute_dtype)
+        # model family: an espnet-schema config has a model.mask block
+        # (reference config/espnet_aishell.yaml vs config/aishell.yaml)
+        self.is_espnet = config.model.mask is not None
+        if self.is_espnet:
+            from transformer_transducer_tpu.models.espnet_variant import (
+                build_espnet_transducer)
+            self.model = build_espnet_transducer(config.model,
+                                                 compute_dtype=compute_dtype)
+        else:
+            self.model = build_transducer(config.model,
+                                          compute_dtype=compute_dtype)
         if n_data is None:
             # largest data-axis size that divides the batch (the reference's
             # DataParallel analog requires batch % replicas == 0 too)
@@ -76,9 +86,14 @@ class Trainer:
             + (config.data.right_context_width or 0))
         dummy_x = jnp.zeros((1, min(t_max, 8), d_in))
         dummy_y = jnp.zeros((1, min(config.data.max_target_length, 4)),
-                            dtype=jnp.int64)
+                            dtype=jnp.int32)
         self.rng, init_rng = jax.random.split(self.rng)
-        variables = self.model.init(init_rng, dummy_x, dummy_y)
+        if self.is_espnet:
+            variables = self.model.init(
+                init_rng, dummy_x, jnp.asarray([dummy_x.shape[1]]), dummy_y,
+                jnp.asarray([dummy_y.shape[1]]))
+        else:
+            variables = self.model.init(init_rng, dummy_x, dummy_y)
         self.params = variables["params"]
 
         n_total, n_enc, n_dec = self._count_params()
@@ -184,8 +199,11 @@ class Trainer:
 
         @jax.jit
         def run(params, inputs, t_len):
-            enc = self.model.apply({"params": params}, inputs, None,
-                                   method=Transducer.encode)
+            # espnet family: second positional arg is lengths (pad mask);
+            # native family: it is the (absent) attention mask
+            enc = self.model.apply({"params": params}, inputs,
+                                   t_len if self.is_espnet else None,
+                                   method="encode")
             return greedy_decode(self.model, {"params": params}, enc, t_len,
                                  max_tokens=max_tokens)
 

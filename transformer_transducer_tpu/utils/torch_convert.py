@@ -78,6 +78,72 @@ def transducer_params(encoder_sd, decoder_sd, joint_sd) -> Dict:
     }}
 
 
+# ---------------------------------------------------------------------------
+# ESPnet-variant family (tt_espnet/model.py)
+# ---------------------------------------------------------------------------
+
+def espnet_encoder_params(sd: Mapping[str, np.ndarray]) -> Dict:
+    """ESPnet ``TransformerEncoder`` state dict -> flax params for
+    ``models.espnet_variant.EspnetTransformerEncoder``."""
+    g = lambda name: np.asarray(sd[name])
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("encoders."))
+    out: Dict = {}
+    for i in range(n_layers):
+        p = f"encoders.{i}."
+        out[f"layer_{i}"] = {
+            "self_attn": {
+                "linear_q": {"kernel": g(p + "self_attn.linear_q.weight").T,
+                             "bias": g(p + "self_attn.linear_q.bias")},
+                "linear_k": {"kernel": g(p + "self_attn.linear_k.weight").T,
+                             "bias": g(p + "self_attn.linear_k.bias")},
+                "linear_v": {"kernel": g(p + "self_attn.linear_v.weight").T,
+                             "bias": g(p + "self_attn.linear_v.bias")},
+                "linear_out": {"kernel": g(p + "self_attn.linear_out.weight").T,
+                               "bias": g(p + "self_attn.linear_out.bias")},
+                "linear_pos": {"kernel": g(p + "self_attn.linear_pos.weight").T},
+                "pos_bias_u": g(p + "self_attn.pos_bias_u"),
+                "pos_bias_v": g(p + "self_attn.pos_bias_v"),
+            },
+            "feed_forward": {
+                "w_1": {"kernel": g(p + "feed_forward.w_1.weight").T,
+                        "bias": g(p + "feed_forward.w_1.bias")},
+                "w_2": {"kernel": g(p + "feed_forward.w_2.weight").T,
+                        "bias": g(p + "feed_forward.w_2.bias")},
+            },
+            "norm1": {"scale": g(p + "norm1.weight"), "bias": g(p + "norm1.bias")},
+            "norm2": {"scale": g(p + "norm2.weight"), "bias": g(p + "norm2.bias")},
+        }
+    out["after_norm"] = {"scale": g("after_norm.weight"),
+                         "bias": g("after_norm.bias")}
+    if "embed.0.weight" in sd and sd["embed.0.weight"].ndim == 2 \
+            and "embed.0.bias" not in sd:
+        out["embed"] = {"embedding": g("embed.0.weight")}
+    elif "embed.0.weight" in sd:
+        out["input_proj"] = {"kernel": g("embed.0.weight").T,
+                             "bias": g("embed.0.bias")}
+        out["input_norm"] = {"scale": g("embed.1.weight"),
+                             "bias": g("embed.1.bias")}
+    return out
+
+
+def espnet_joint_params(sd: Mapping[str, np.ndarray]) -> Dict:
+    return {
+        "lin_enc": {"kernel": np.asarray(sd["lin_enc.weight"]).T,
+                    "bias": np.asarray(sd["lin_enc.bias"])},
+        "lin_dec": {"kernel": np.asarray(sd["lin_dec.weight"]).T},
+        "lin_out": {"kernel": np.asarray(sd["lin_out.weight"]).T,
+                    "bias": np.asarray(sd["lin_out.bias"])},
+    }
+
+
+def espnet_transducer_params(encoder_sd, decoder_sd, joint_sd) -> Dict:
+    return {"params": {
+        "encoder": espnet_encoder_params(encoder_sd),
+        "decoder": espnet_encoder_params(decoder_sd),
+        "joint": espnet_joint_params(joint_sd),
+    }}
+
+
 def load_reference_checkpoint(path: str) -> Dict:
     """Load a reference ``.chkpt`` file (requires torch) into flax params."""
     import torch  # local import: torch is optional at runtime
