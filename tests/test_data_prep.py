@@ -1,0 +1,151 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from transformer_transducer_tpu.data import kaldiio, prep
+from transformer_transducer_tpu.data.dataset import AudioDataset, CMVN, read_manifest
+from transformer_transducer_tpu.data.wav import write_wave
+from transformer_transducer_tpu.utils.config import Config
+from transformer_transducer_tpu.utils.vocab import Vocabulary
+
+
+def _wav(path, n=3200, seed=0):
+    rng = np.random.RandomState(seed)
+    write_wave(str(path), (rng.randn(n) * 3000).astype(np.int16))
+    return str(path)
+
+
+def test_kaldi_mat_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    m = rng.randn(7, 5).astype(np.float32)
+    p = tmp_path / "m.mat"
+    prep_off = kaldiio.write_mat(str(p), m)
+    assert prep_off == 0
+    np.testing.assert_array_equal(kaldiio.read_mat(str(p)), m)
+
+
+def test_kaldi_ark_scp_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    mats = {f"utt{i}": rng.randn(4 + i, 3).astype(np.float32) for i in range(3)}
+    ark = str(tmp_path / "feats.ark")
+    scp = str(tmp_path / "feats.scp")
+    kaldiio.write_ark_scp(ark, scp, mats)
+    via_scp = dict(kaldiio.read_mat_scp(scp))
+    via_ark = dict(kaldiio.read_mat_ark(ark))
+    for k, m in mats.items():
+        np.testing.assert_array_equal(via_scp[k], m)
+        np.testing.assert_array_equal(via_ark[k], m)
+
+
+def test_kaldi_text_matrix(tmp_path):
+    p = tmp_path / "t.mat"
+    p.write_text(" [\n 1.0 2.0\n 3.0 4.5 ]\n")
+    np.testing.assert_allclose(kaldiio.read_mat(str(p)),
+                               [[1.0, 2.0], [3.0, 4.5]])
+
+
+def test_aishell_importer_and_pipeline(tmp_path):
+    # synthetic AISHELL-1 layout
+    root = tmp_path / "aishell"
+    os.makedirs(root / "transcript")
+    os.makedirs(root / "wav" / "train" / "S0001")
+    utts = {}
+    for i in range(4):
+        utt = f"BAC009S0001W{i:04d}"
+        _wav(root / "wav" / "train" / "S0001" / f"{utt}.wav", seed=i)
+        utts[utt] = "你 好 世界"[: 2 * (i % 2) + 3]
+    with open(root / "transcript" / "aishell_transcript_v0.8.txt", "w") as fh:
+        for utt, text in utts.items():
+            fh.write(f"{utt} {text}\n")
+
+    rows = prep.import_aishell(str(root), "train")
+    assert len(rows) == 4
+    assert all(" " not in label for _, label in rows)
+
+    train_csv = str(tmp_path / "train.csv")
+    prep.write_manifest(rows, train_csv)
+    assert len(read_manifest(train_csv)) == 4
+
+    vocab_path = str(tmp_path / "vocab.txt")
+    vocab = prep.build_grapheme_table([train_csv], vocab_path)
+    assert vocab.word2index["<b>"] == 0
+    assert "你" in vocab.word2index
+
+    stats = prep.target_length_stats(train_csv)
+    assert stats["count"] == 4 and stats["max"] >= stats["min"]
+
+    clipped_csv = str(tmp_path / "clipped.csv")
+    kept, dropped = prep.clip_by_length(train_csv, clipped_csv,
+                                        max_label_len=3)
+    assert kept + dropped == 4
+
+    merged = str(tmp_path / "merged.csv")
+    n = prep.merge_manifests([train_csv, clipped_csv], merged)
+    assert n == 4 + kept
+
+
+def test_other_importers(tmp_path):
+    # THCHS30
+    th = tmp_path / "thchs30" / "train"
+    os.makedirs(th)
+    _wav(th / "A1_0.wav")
+    (th / "A1_0.wav.trn").write_text("绿 是 阳春\nlv shi\n")
+    rows = prep.import_thchs30(str(tmp_path / "thchs30"), "train")
+    assert rows[0][1] == "绿是阳春"
+
+    # ST-CMDS
+    st = tmp_path / "stcmds"
+    os.makedirs(st)
+    _wav(st / "20170001P00001A0001.wav")
+    (st / "20170001P00001A0001.txt").write_text("今天 天气")
+    rows = prep.import_stcmds(str(st))
+    assert rows[0][1] == "今天天气"
+
+    # magicdata
+    md = tmp_path / "magic" / "train" / "SPK1"
+    os.makedirs(md)
+    _wav(md / "u1.wav")
+    (tmp_path / "magic" / "train" / "TRANS.txt").write_text(
+        "UtteranceID\tSpeakerID\tTranscription\nu1.wav\tSPK1\t你好 吗\n")
+    rows = prep.import_magicdata(str(tmp_path / "magic"), "train")
+    assert rows[0][1] == "你好吗"
+
+    # primewords
+    pw = tmp_path / "prime" / "audio_files" / "0"
+    os.makedirs(pw)
+    _wav(pw / "x.wav")
+    (tmp_path / "prime" / "set1_transcript.json").write_text(
+        json.dumps([{"file": "x.wav", "text": "早上 好"}]))
+    rows = prep.import_primewords(str(tmp_path / "prime"))
+    assert rows[0][1] == "早上好"
+
+    # aidatatang
+    ad = tmp_path / "aida" / "corpus" / "train" / "G0001"
+    os.makedirs(ad)
+    _wav(ad / "T0001.wav")
+    (ad / "T0001.txt").write_text("晚上 好")
+    rows = prep.import_aidatatang(str(tmp_path / "aida"), "train")
+    assert rows[0][1] == "晚上好"
+
+
+def test_feature_dump_and_cmvn(tmp_path):
+    wavs = [_wav(tmp_path / f"u{i}.wav", seed=i) for i in range(2)]
+    csv_path = str(tmp_path / "m.csv")
+    prep.write_manifest([(w, "ab") for w in wavs], csv_path)
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    n = prep.dump_features(csv_path, ark, scp, feature_dim=8)
+    assert n == 2
+    feats = dict(kaldiio.read_mat_scp(scp))
+    assert len(feats) == 2
+    for m in feats.values():
+        assert m.shape[1] == 8 * 4
+
+    # CMVN stats consumed by the dataset normalizer
+    any_feats = next(iter(feats.values()))
+    stats = kaldiio.cmvn_stats(any_feats)
+    cm = CMVN({"utt": "spk"}, {"spk": stats})
+    out = cm("utt", any_feats)
+    np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)

@@ -1,0 +1,55 @@
+"""C++ runtime library vs the Python fallbacks."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from transformer_transducer_tpu.runtime import native
+from transformer_transducer_tpu.utils.metrics import _levenshtein_numpy
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ in environment")
+    assert native.build(), "native build failed"
+    native._TRIED = False
+    native._LIB = None
+    lib = native.library_or_none()
+    assert lib is not None
+    return lib
+
+
+def test_levenshtein_matches_python(lib):
+    rng = np.random.RandomState(0)
+    for _ in range(100):
+        a = rng.randint(0, 6, size=rng.randint(0, 20)).astype(np.int32)
+        b = rng.randint(0, 6, size=rng.randint(0, 20)).astype(np.int32)
+        assert lib.levenshtein(a, b) == _levenshtein_numpy(list(a), list(b))
+
+
+def test_batch_levenshtein(lib):
+    preds = [[1, 2, 3], [4, 5], []]
+    refs = [[1, 2, 4], [4, 5, 6], [7]]
+    dist, total = lib.batch_levenshtein(preds, refs)
+    assert dist == 1 + 1 + 1
+    assert total == 3 + 3 + 1
+
+
+def test_parse_wav_roundtrip(lib, tmp_path):
+    from transformer_transducer_tpu.data.wav import write_wave
+    rng = np.random.RandomState(1)
+    samples = (rng.randn(4321) * 5000).astype(np.int16)
+    p = tmp_path / "t.wav"
+    write_wave(str(p), samples, 16000)
+    got, rate = lib.parse_wav(p.read_bytes())
+    assert rate == 16000
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_metrics_uses_native_when_built(lib):
+    from transformer_transducer_tpu.utils import metrics
+    metrics._NATIVE = False  # force re-probe
+    assert metrics.levenshtein([1, 2, 3], [1, 3]) == 1
+    assert metrics.levenshtein([1, 2, 3], [4, 5, 6]) == 3

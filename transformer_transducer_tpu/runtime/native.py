@@ -30,11 +30,19 @@ def _candidate_paths():
 class _Native:
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.ttx_levenshtein.restype = ctypes.c_int64
-        lib.ttx_levenshtein.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ]
+        lib.ttx_levenshtein.argtypes = [i32p, ctypes.c_int64, i32p,
+                                        ctypes.c_int64]
+        lib.ttx_batch_levenshtein.restype = ctypes.c_int64
+        lib.ttx_batch_levenshtein.argtypes = [i32p, i64p, i32p, i64p,
+                                              ctypes.c_int64, i64p]
+        lib.ttx_parse_wav.restype = ctypes.c_int64
+        lib.ttx_parse_wav.argtypes = [u8p, ctypes.c_int64, i16p,
+                                      ctypes.c_int64, i32p]
 
     def levenshtein(self, a: np.ndarray, b: np.ndarray) -> int:
         a = np.ascontiguousarray(a, dtype=np.int32)
@@ -42,6 +50,53 @@ class _Native:
         return int(self._lib.ttx_levenshtein(
             a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
             b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(b)))
+
+    def batch_levenshtein(self, preds, refs):
+        """preds/refs: lists of int sequences -> (distance, total_ref_len)."""
+        def pack(seqs):
+            flat = np.concatenate([np.asarray(s, np.int32) for s in seqs]
+                                  or [np.zeros(0, np.int32)]).astype(np.int32)
+            off = np.zeros(len(seqs) + 1, np.int64)
+            np.cumsum([len(s) for s in seqs], out=off[1:])
+            return np.ascontiguousarray(flat), np.ascontiguousarray(off)
+        pf, po = pack(preds)
+        rf, ro = pack(refs)
+        total = ctypes.c_int64(0)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        dist = self._lib.ttx_batch_levenshtein(
+            pf.ctypes.data_as(i32p), po.ctypes.data_as(i64p),
+            rf.ctypes.data_as(i32p), ro.ctypes.data_as(i64p),
+            len(preds), ctypes.byref(total))
+        return int(dist), int(total.value)
+
+    def parse_wav(self, raw: bytes):
+        """RIFF/PCM16 bytes -> (int16 mono samples, rate) or None on error."""
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        out = np.empty(len(raw) // 2, dtype=np.int16)
+        rate = ctypes.c_int32(0)
+        n = self._lib.ttx_parse_wav(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(out),
+            ctypes.byref(rate))
+        if n < 0:
+            return None
+        return out[:n].copy(), int(rate.value)
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native library with make; returns True on success."""
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    csrc = os.path.join(here, "csrc")
+    so = os.path.join(csrc, "libttx_runtime.so")
+    if os.path.exists(so) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
+        return os.path.exists(so)
+    except Exception:
+        return False
 
 
 def library_or_none() -> Optional[_Native]:
