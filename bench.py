@@ -77,7 +77,7 @@ def bench_train_step(batch=4, t=410, u=42):
     opt_state = tx.init(params)
     step = jax.jit(make_train_step(
         model, tx, TrainStepConfig(compute_dtype=jnp.bfloat16,
-                                   loss_chunk_size=64)))
+                                   loss_chunk_size=16)))
 
     def run(p, o):
         p, o, m = step(p, o, batch_d, jax.random.PRNGKey(2))

@@ -1,0 +1,78 @@
+"""Pallas banded attention vs the dense-mask XLA oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_transducer_tpu.models.attention import rel_shift, _slice_pos_table
+from transformer_transducer_tpu.ops.masks import context_mask
+from transformer_transducer_tpu.ops.pallas.banded_attention import banded_attention
+
+INTERPRET = jax.default_backend() != "tpu"
+# compiled TPU matmuls round f32 through bf16 MXU passes; interpret mode is exact
+TOL = dict(rtol=2e-4, atol=2e-4) if INTERPRET else dict(rtol=5e-3, atol=5e-3)
+
+
+def dense_oracle(q, k, v, re, u, rb, left, right):
+    """The module's exact dense-score math (pre out-projection)."""
+    b, t, h, dh = q.shape
+    ac = jnp.einsum("bind,bjnd->bnij", q + u[None, None], k)
+    b_ = jnp.einsum("bind,jnd->bnij", q, re)
+    d_ = rb.T[None, :, None, :]
+    bd = rel_shift(b_ + d_)
+    scores = (ac + bd) / np.sqrt(dh)
+    mask = context_mask(t, left, right)
+    scores = jnp.where(mask[None, None], -1e30, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bnij,bjnd->bind", probs, v)
+
+
+@pytest.mark.parametrize("t,left,right", [(64, 10, 2), (200, 10, 2),
+                                          (410, 10, 2), (128, 7, 0),
+                                          (300, 33, 5)])
+def test_banded_kernel_matches_dense(t, left, right):
+    rng = np.random.RandomState(t + left)
+    b, h, dh = 2, 2, 64
+    q = jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32))
+    re = jnp.asarray(rng.randn(t, h, dh).astype(np.float32) * 0.3)
+    u = jnp.asarray(rng.randn(h, dh).astype(np.float32) * 0.3)
+    rb = jnp.asarray(rng.randn(t, h).astype(np.float32) * 0.3)
+
+    ref = np.asarray(dense_oracle(q, k, v, re, u, rb, left, right))
+    got = np.asarray(banded_attention(q, k, v, re, u, rb, left, right,
+                                      interpret=INTERPRET))
+    np.testing.assert_allclose(got, ref, **TOL)
+
+
+def test_banded_kernel_sliced_tables():
+    """klen < k_len: caller slices tables first (model front-pad/slice rule)."""
+    rng = np.random.RandomState(0)
+    t, k_len, h, dh = 100, 160, 2, 64
+    q = jnp.asarray(rng.randn(1, t, h, dh).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(1, t, h, dh).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(1, t, h, dh).astype(np.float32))
+    re_full = jnp.asarray(rng.randn(k_len, h, dh).astype(np.float32) * 0.3)
+    u = jnp.asarray(rng.randn(h, dh).astype(np.float32) * 0.3)
+    rb_full = jnp.asarray(rng.randn(k_len, h).astype(np.float32) * 0.3)
+    re = _slice_pos_table(re_full, t)
+    rb = _slice_pos_table(rb_full, t)
+    ref = np.asarray(dense_oracle(q, k, v, re, u, rb, 10, 2))
+    got = np.asarray(banded_attention(q, k, v, re, u, rb, 10, 2,
+                                      interpret=INTERPRET))
+    np.testing.assert_allclose(got, ref, **TOL)
+
+
+def test_model_encode_banded_matches_masked():
+    from transformer_transducer_tpu.models.transducer import Transducer
+    model = Transducer(vocab_size=12, enc=(2, 160, 2, 8, 4, 16),
+                       dec=(1, 8, 2, 8, 4, 16), joint_inner=12)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 150, 8))
+    variables = model.init(jax.random.PRNGKey(0), x[:, :8],
+                           jnp.zeros((2, 4), jnp.int32))
+    ref = model.apply(variables, x, context_mask(150, 10, 2), method="encode")
+    got = model.apply(variables, x, 10, 2, method="encode_banded")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)

@@ -70,8 +70,12 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
         buf = jnp.where(valid[:, None],
                         buf * (1 - onehot) + pred[:, None] * onehot, buf)
         count = count + valid.astype(count.dtype)
-        new_dec = predict_last(buf, count)
-        dec_state = jnp.where(valid[:, None], new_dec, dec_state)
+        # scalar-gated recompute: blank frames skip the label encoder
+        dec_state = jax.lax.cond(
+            valid.any(),
+            lambda: jnp.where(valid[:, None], predict_last(buf, count),
+                              dec_state),
+            lambda: dec_state)
         return (buf, count, dec_state), None
 
     buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32)

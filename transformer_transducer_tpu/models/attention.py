@@ -75,7 +75,8 @@ class RelLearnableSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, r_emb: jax.Array, r_w_bias: jax.Array,
                  r_bias: jax.Array, attn_mask: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 band: Optional[tuple] = None) -> jax.Array:
         b, qlen, _ = x.shape
         h, dh = self.n_head, self.d_head
         xc = x.astype(self.compute_dtype)
@@ -90,6 +91,26 @@ class RelLearnableSelfAttention(nn.Module):
 
         r_emb = _slice_pos_table(r_emb, klen).astype(self.compute_dtype)
         r_bias = _slice_pos_table(r_bias, klen).astype(self.compute_dtype)
+
+        if band is not None:
+            # Pallas banded kernel: O(T*window) scores instead of O(T^2);
+            # numerics match the dense path (same score formula incl. the
+            # rel-shift wrap) — see ops/pallas/banded_attention.py.
+            from transformer_transducer_tpu.ops.pallas.banded_attention import (
+                banded_attention)
+            vec = banded_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), r_emb.astype(jnp.float32),
+                r_w_bias.astype(jnp.float32), r_bias.astype(jnp.float32),
+                int(band[0]), int(band[1]),
+                interpret=jax.default_backend() != "tpu")
+            vec = vec.reshape(b, qlen, h * dh).astype(self.compute_dtype)
+            out = nn.Dense(self.d_model, use_bias=False, name="out",
+                           dtype=self.compute_dtype)(vec)
+            out = nn.Dropout(self.dropout, name="drop")(
+                out, deterministic=deterministic)
+            return nn.LayerNorm(epsilon=1e-5, name="ln")(
+                (x + out).astype(jnp.float32))
 
         rw_q = q + r_w_bias.astype(self.compute_dtype)[None, None]
         # content score (AC) and position score (BD), both (B, H, q, k)
@@ -157,7 +178,8 @@ class TransformerXLLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 band: Optional[tuple] = None) -> jax.Array:
         r_emb = self.param("r_emb", nn.initializers.normal(1.0),
                            (self.k_len, self.n_head, self.d_head), jnp.float32)
         r_w_bias = self.param("r_w_bias", nn.initializers.normal(1.0),
@@ -167,7 +189,8 @@ class TransformerXLLayer(nn.Module):
         x = RelLearnableSelfAttention(
             n_head=self.n_head, d_model=self.d_model, d_head=self.d_head,
             dropout=self.dropout, compute_dtype=self.compute_dtype,
-            name="attn")(x, r_emb, r_w_bias, r_bias, attn_mask, deterministic)
+            name="attn")(x, r_emb, r_w_bias, r_bias, attn_mask, deterministic,
+                         band=band)
         x = PositionwiseFF(
             d_model=self.d_model, d_inner=self.d_inner, dropout=self.dropout,
             compute_dtype=self.compute_dtype, name="ff")(x, deterministic)

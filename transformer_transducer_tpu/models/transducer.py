@@ -47,14 +47,15 @@ class AudioEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: jax.Array, attn_mask: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 band: Optional[Tuple[int, int]] = None) -> jax.Array:
         x = inputs
         for i in range(self.n_layer):
             x = TransformerXLLayer(
                 k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
                 d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
                 compute_dtype=self.compute_dtype,
-                name=f"layer_{i}")(x, attn_mask, deterministic)
+                name=f"layer_{i}")(x, attn_mask, deterministic, band=band)
         return x
 
 
@@ -160,6 +161,13 @@ class Transducer(nn.Module):
     def encode(self, inputs: jax.Array, attn_mask: Optional[jax.Array] = None,
                deterministic: bool = True) -> jax.Array:
         return self.encoder(inputs, attn_mask, deterministic)
+
+    def encode_banded(self, inputs: jax.Array, left: int, right: int,
+                      deterministic: bool = True) -> jax.Array:
+        """Streaming-band encoding via the Pallas kernel — numerically
+        equivalent to ``encode(inputs, context_mask(T, left, right))`` with
+        O(T*window) attention cost (see ops/pallas/banded_attention.py)."""
+        return self.encoder(inputs, None, deterministic, band=(left, right))
 
     def predict(self, tokens: jax.Array, attn_mask: Optional[jax.Array] = None,
                 deterministic: bool = True) -> jax.Array:

@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: banded rel-position self-attention (native family).
+
+The streaming encoder attends within a ``[i-left, i+right]`` band
+(reference ``tt/utils.py:242-251``); the dense path materializes full (T, T)
+scores and masks them.  This kernel computes only a fixed 256-column window
+per 128-row query block — per-block score/AV FLOPs become O(T·W) instead of
+O(T²), and the softmax never sees out-of-band lanes.
+
+Score semantics are bit-compatible with ``models.attention.
+RelLearnableSelfAttention`` (the test oracle), including the rel-shift
+wrap-around the reference feeds to in-band future offsets:
+
+    o = j - i <= 0 :  q_i . re[T-1+o]  +  rb[T-1+o]
+    o = 1         :  0                       (the rel-shift zero-pad column)
+    o >= 2        :  q_{i+1} . re[o-2] + rb[o-2]   (cross-row wrap)
+
+where re/rb are the position tables already sliced to klen == T rows.
+
+Design notes (all gather-free, Mosaic-friendly):
+* k/v are padded with HALO rows in front so the per-block window read
+  ``k[qs : qs+WIN]`` never clamps — the window always sits at offset
+  ``-HALO`` relative to the query block;
+* BD is built per relative offset as a (TQ, 129) band matrix G (two small
+  MXU matmuls against table slices + static concatenation), then skewed onto
+  window diagonals with the pad-and-reshape trick: with window offset fixed
+  at -HALO, ``Z[i, i+c] = G[i, c]`` lands exactly on window column
+  ``w = i + (o + HALO)`` — no dynamic shift needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+TQ = 128          # query rows per block
+HALO = 64         # band bound: left, right <= HALO
+WIN = TQ + 2 * HALO  # 256-column key window per block
+
+
+def _band_kernel(left_ref, right_ref, t_true_ref, shift_ref, q_ref, k_ref,
+                 v_ref, re_ref, u_ref, o_ref):
+    qb = pl.program_id(1)
+    t = q_ref.shape[1]                                   # padded length
+    dh = q_ref.shape[2]
+    left = left_ref[0]
+    right = right_ref[0]
+    t_true = t_true_ref[0]
+    shift = shift_ref[0]  # tables are rolled right by `shift` (= t - t_true)
+
+    qs = qb * TQ
+    q = q_ref[0, pl.ds(qs, TQ), :]                       # (TQ, Dh)
+    # q shifted by one row (for the wrap term): rows 1..TQ-1 of this block
+    # plus the first row of the next block (clamped read is only ever used
+    # for cells the band mask excludes)
+    q_extra = q_ref[0, pl.ds(jnp.minimum(qs + TQ, t - 1), 1), :]
+    q_next = jnp.concatenate([q[1:], q_extra], axis=0)
+    # k/v are front-padded by HALO rows: padded index qs == original qs-HALO
+    k_win = k_ref[0, pl.ds(qs, WIN), :]                  # (WIN, Dh)
+    v_win = v_ref[0, pl.ds(qs, WIN), :]
+
+    u = u_ref[0]
+    ac = jax.lax.dot_general((q + u), k_win, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (TQ, WIN)
+
+    # offset grid: window column w holds original j = qs - HALO + w
+    row = jax.lax.broadcasted_iota(jnp.int32, (TQ, WIN), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TQ, WIN), 1)
+    j_abs = qs - HALO + col
+    o = col - HALO - row                                 # = j_abs - (qs+row)
+
+    # ---- BD band matrix G: columns c <-> offset o = c - HALO -------------
+    # re_ref carries rb as an extra trailing feature column (built by the
+    # wrapper), so q is augmented with a ones column and the r_bias term
+    # rides the same MXU matmul — no lane-axis dynamic slicing needed.
+    ones = jnp.ones((TQ, 1), jnp.float32)
+    q_aug = jnp.concatenate([q, ones], axis=1)
+    qn_aug = jnp.concatenate([q_next, ones], axis=1)
+    re_tail = re_ref[0, pl.ds(t - 1 - HALO, HALO + 1), :]   # true rows t-1-64..
+    p_past = jax.lax.dot_general(q_aug, re_tail, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    re_head = re_ref[0, pl.ds(shift, HALO), :]              # true rows 0..63
+    p_wrap = jax.lax.dot_general(qn_aug, re_head, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    g = jnp.concatenate([
+        p_past,                                          # o in [-64, 0]
+        jnp.zeros((TQ, 1), jnp.float32),                 # o == 1
+        p_wrap[:, :HALO - 1],                            # o in [2, 64]
+    ], axis=1)                                           # (TQ, C=2*HALO+1)
+
+    # skew onto diagonals: Z[i, i+c] = G[i, c] == roll row i right by i.
+    # Variable per-row roll in log2(TQ) conditional lane-rolls (no reshape,
+    # no gather — Mosaic-friendly).  No circular wrap: c_width + TQ-1 == WIN.
+    c_width = 2 * HALO + 1
+    bd = jnp.concatenate(
+        [g, jnp.zeros((TQ, WIN - c_width), jnp.float32)], axis=1)
+    for bit in range(TQ.bit_length() - 1):
+        amt = 1 << bit
+        rolled = pltpu.roll(bd, amt, axis=1)
+        bd = jnp.where((row & amt) != 0, rolled, bd)
+
+    scale = 1.0 / np.sqrt(dh)
+    scores = (ac + bd) * scale
+    in_band = (o >= -left) & (o <= right) & (j_abs >= 0) & (j_abs < t_true)
+    scores = jnp.where(in_band, scores, NEG)
+
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=1, keepdims=True)
+    probs = e / s
+    out = jax.lax.dot_general(probs.astype(v_win.dtype), v_win,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0, :, :] = out
+
+
+@functools.partial(jax.jit, static_argnames=("left", "right", "interpret"))
+def banded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     r_emb: jax.Array, r_w_bias: jax.Array, r_bias: jax.Array,
+                     left: int, right: int,
+                     interpret: bool = False) -> jax.Array:
+    """Banded rel-attention.
+
+    Args:
+      q, k, v: (B, T, H, Dh) post-projection heads.
+      r_emb: (T, H, Dh), r_w_bias: (H, Dh), r_bias: (T, H) — tables already
+        sliced/front-padded to klen == T (``models.attention._slice_pos_table``).
+      left, right: band widths (0 <= left, right <= 64).
+    Returns: (B, T, H, Dh) attention output (pre out-projection).
+    """
+    assert 0 <= left <= HALO and 0 <= right <= HALO
+    b, t, h, dh = q.shape
+    t_pad = -(-t // TQ) * TQ
+
+    def fold(x, front=0, back=0):
+        x = jnp.pad(x, ((0, 0), (front, t_pad - t + back), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], dh)
+
+    qf = fold(q)
+    kf = fold(k, front=HALO, back=HALO)
+    vf = fold(v, front=HALO, back=HALO)
+    # fold r_bias into r_emb as a trailing feature column (see kernel note)
+    re_aug = jnp.concatenate([r_emb, r_bias[:, :, None]], axis=-1)
+    re = jnp.pad(re_aug, ((0, t_pad - t), (0, 0), (0, 0))) \
+        .transpose(1, 0, 2).astype(jnp.float32)              # (H, Tp, Dh+1)
+    u = r_w_bias[:, None, :].astype(jnp.float32)              # (H, 1, Dh)
+
+    # The score formula anchors table rows at klen-1 (the TRUE last row).
+    # Roll right so padded row t_pad-1+o holds true row t-1+o; true row 0
+    # then sits at padded row `shift` (the kernel's wrap-row base).
+    shift = t_pad - t
+    re = jnp.roll(re, shift, axis=1)
+
+    t_kv = t_pad + 2 * HALO
+    grid = (b * h, t_pad // TQ)
+    head_idx = lambda i, j: (i % h, 0, 0)
+    out = pl.pallas_call(
+        _band_kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t_pad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_kv, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_kv, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, dh + 1), head_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), lambda i, j: (i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, dh), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray([left], jnp.int32), jnp.asarray([right], jnp.int32),
+      jnp.asarray([t], jnp.int32), jnp.asarray([shift], jnp.int32),
+      qf, kf, vf, re, u)
+
+    out = out.reshape(b, h, t_pad, dh).transpose(0, 2, 1, 3)[:, :t]
+    return out

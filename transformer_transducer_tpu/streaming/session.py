@@ -178,8 +178,10 @@ class StreamingSession:
                 new_buf = jnp.where(count[0] < cap, appended, shifted)
                 new_buf = jnp.where(valid, new_buf, buf)
                 new_count = jnp.where(valid, jnp.minimum(count + 1, cap), count)
-                new_dec = jnp.where(valid,
-                                    predict_last(new_buf, new_count), dec_state)
+                # scalar-gated: blank frames skip the label-encoder recompute
+                new_dec = jax.lax.cond(
+                    valid, lambda: predict_last(new_buf, new_count),
+                    lambda: dec_state)
                 had_tokens = emitted_any[0] > 0
                 new_blank = jnp.where(
                     valid, 0,

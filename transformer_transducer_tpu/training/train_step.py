@@ -39,7 +39,7 @@ class TrainStepConfig:
     max_mask_time: int = 5
     max_mask_frequency: int = 5
     mask_num: int = 10
-    loss_chunk_size: int = 32
+    loss_chunk_size: int = 16
     compute_dtype: Any = jnp.float32
 
 
