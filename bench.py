@@ -21,13 +21,23 @@ import jax.numpy as jnp
 FRAME_SECONDS = 0.03  # 10 ms hop x subsample 3
 
 
+def _force(out):
+    """Reduce any output pytree to a host scalar with a SINGLE device->host
+    transfer (the remote relay's block_until_ready is lazy; only a transfer
+    truly syncs, and each transfer costs one RPC round-trip)."""
+    import numpy as np
+    leaves = jax.tree_util.tree_leaves(out)
+    stacked = jnp.stack([jnp.sum(l.astype(jnp.float32)) for l in leaves])
+    return float(np.asarray(jnp.sum(stacked)))
+
+
 def _timeit(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        acc += _force(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -112,14 +122,93 @@ def bench_rnnt_loss(batch=4, t=410, u=42, v=4334):
     return dt * 1e3
 
 
+def bench_streaming_rtf(seconds=30):
+    """Warm single-stream RTF on the aishell config through the full
+    streaming session (chunked features + fused window decode).  NOTE: on
+    the remote-relay TPU this is dominated by per-call dispatch latency
+    (~tens of ms/window), not chip compute."""
+    import numpy as np
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.streaming.session import (
+        StreamingConfig, StreamingSession)
+
+    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
+                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
+                       compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 8, 512)),
+                           jnp.zeros((1, 4), jnp.int32))
+    cfg = StreamingConfig(left_context=10, right_context=2, n_layer=4,
+                          feature_dim=128)
+    session = StreamingSession(model, variables, cfg)
+    rs = __import__("numpy").random.RandomState(0)
+    wav = (rs.randn(16000 * seconds) * 3000).astype("int16")
+    # warm-up pass (compiles), then timed pass
+    for _ in range(2):
+        session.reset()
+        t0 = time.perf_counter()
+        for i in range(0, len(wav), 1600):
+            session.accept_waveform(wav[i:i + 1600])
+        session.finalize()
+        dt = time.perf_counter() - t0
+    return seconds / dt
+
+
+def bench_banded_attention(t=2048, b=4, h=8, dh=64, n_apply=50):
+    """Pallas banded kernel vs dense masked attention, amortized inside one
+    jit (the relay's per-call latency would swamp single ops)."""
+    import numpy as np
+    from transformer_transducer_tpu.ops.pallas.banded_attention import (
+        banded_attention)
+    from transformer_transducer_tpu.models.attention import rel_shift
+    from transformer_transducer_tpu.ops.masks import context_mask
+
+    def dense(q, k, v, re, u, rb):
+        ac = jnp.einsum("bind,bjnd->bnij", q + u[None, None], k)
+        bd = rel_shift(jnp.einsum("bind,jnd->bnij", q, re)
+                       + rb.T[None, :, None, :])
+        scores = jnp.where(context_mask(t, 10, 2)[None, None], -1e30,
+                           (ac + bd) / (dh ** 0.5))
+        return jnp.einsum("bnij,bjnd->bind",
+                          jax.nn.softmax(scores, axis=-1), v)
+
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype("float32") * 0.3)
+    args = (mk(b, t, h, dh), mk(b, t, h, dh), mk(b, t, h, dh),
+            mk(t, h, dh), mk(h, dh), mk(t, h))
+
+    def chain(f):
+        def run(q, k, v, re, u, rb):
+            def body(c, _):
+                return f(c, k, v, re, u, rb) * 1e-3 + c, None
+            out, _ = jax.lax.scan(body, q, None, length=n_apply)
+            return jnp.sum(out)
+        return jax.jit(run)
+
+    def timed(f):
+        import numpy as np
+        np.asarray(f(*args))
+        t0 = time.perf_counter()
+        np.asarray(f(*args))
+        return (time.perf_counter() - t0) / n_apply * 1e3
+
+    return timed(chain(dense)), timed(chain(
+        lambda q, k, v, re, u, rb: banded_attention(q, k, v, re, u, rb, 10, 2)))
+
+
 def main():
     backend = jax.default_backend()
     rtf = bench_offline_rtf()
     step_ms = bench_train_step()
     loss_ms = bench_rnnt_loss()
+    stream_rtf = bench_streaming_rtf()
+    dense_ms, banded_ms = bench_banded_attention()
     print(json.dumps({
         "train_step_ms_aishell_b4": round(step_ms, 2),
         "rnnt_loss_fwdbwd_ms_b4_t410_u42": round(loss_ms, 2),
+        "streaming_session_x_realtime_warm": round(stream_rtf, 2),
+        "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),
+                                 "pallas": round(banded_ms, 3)},
         "backend": backend,
     }), file=sys.stderr)
     print(json.dumps({
