@@ -134,3 +134,27 @@ def test_sentence_split_on_blank_run():
     session.finalize()
     # segments partition the result
     assert sum(session.segments, []) == session.result
+
+
+def test_trapezoid_session_runs_and_covers_all_frames():
+    from transformer_transducer_tpu.streaming.session import (
+        TrapezoidStreamingSession)
+    model, variables = _model(n_layer=2, seed=8)
+    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                          feature_dim=4, win_audio=4800 + 480,
+                          audio_step=4800)
+    session = TrapezoidStreamingSession(model, variables, cfg, pred_frame=6)
+    assert session.min_win == 6 + 4 and session.max_win == 6 + 6 + 4
+    rng = np.random.RandomState(9)
+    wav = (rng.randn(20000) * 6000).astype(np.int16)
+    out = []
+    for i in range(0, len(wav), 2500):
+        out += session.accept_waveform(wav[i:i + 2500])
+    out += session.finalize()
+    assert out == session.result
+    # steady-state window must have reached max_win (growth finished)
+    assert session.win_len == session.max_win
+    # every subsampled frame was consumed exactly once
+    consumed = session.win_feature_position + session.win_len - session.min_win
+    assert session.win_feature_position == session.subsampled.shape[0] or \
+        consumed >= session.subsampled.shape[0]

@@ -347,3 +347,63 @@ def chunked_encode(model: Transducer, variables, features: np.ndarray,
         session_enc.append(effective)
         pos += effective.shape[0]
     return np.concatenate(session_enc, axis=0)
+
+
+class TrapezoidStreamingSession(StreamingSession):
+    """Fixed trapezoid-window variant (reference ``audio/streamRec.py``).
+
+    The feature window GROWS from ``min_win = pred_frame + n_layer*right`` to
+    ``max_win = n_layer*left + pred_frame + n_layer*right`` by ``pred_frame``
+    per step, then SLIDES by ``pred_frame`` (:65-72, 199-202).  Each step
+    decodes the ``pred_frame`` frames that sit ``min_win`` from the window
+    end (they have exactly the required future context; during the growth
+    phase their left history is still short — v1 is approximate by design,
+    which is why the reference superseded it with the dynamic-window v2).
+
+    Divergence: the reference's v1 silently drops the audio tail when
+    recording stops mid-window; ``finalize`` here decodes it (right halo 0).
+    """
+
+    def __init__(self, model, variables, cfg: StreamingConfig,
+                 pred_frame: int = 18, **kwargs):
+        self.pred_frame = pred_frame
+        self.min_win = pred_frame + cfg.right_len
+        self.max_win = cfg.left_len + pred_frame + cfg.right_len
+        if cfg.window_len is None:
+            cfg.window_len = -(-self.max_win // 64) * 64
+        super().__init__(model, variables, cfg, **kwargs)
+
+    def reset(self):
+        super().reset()
+        self.win_len = self.min_win
+
+    def _process_feature_windows(self, last_clip: bool) -> List[int]:
+        emitted = []
+        while True:
+            total = self.subsampled.shape[0]
+            if self.win_feature_position + self.win_len <= total:
+                window = self.subsampled[self.win_feature_position:
+                                         self.win_feature_position + self.win_len]
+                eff_start = self.win_len - self.min_win
+                emitted += self._decode_window(window, eff_start,
+                                               self.pred_frame)
+                if self.win_len < self.max_win:
+                    self.win_len += self.pred_frame
+                else:
+                    self.win_feature_position += self.pred_frame
+            elif last_clip:
+                # decode the remaining tail (v1 drops it; see class docstring)
+                consumed = self.win_feature_position + self.win_len - self.min_win
+                if consumed >= total:
+                    break
+                start = max(0, self.win_feature_position)
+                window = self.subsampled[start:total]
+                eff_start = consumed - start
+                n_eff = window.shape[0] - eff_start
+                if n_eff <= 0:
+                    break
+                emitted += self._decode_window(window, eff_start, n_eff)
+                self.win_feature_position = total
+            else:
+                break
+        return emitted
