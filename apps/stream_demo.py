@@ -106,9 +106,22 @@ def main():
     ap.add_argument("--realtime", action="store_true",
                     help="pace file chunks at real time")
     ap.add_argument("--rtf", action="store_true", help="report RTF")
+    ap.add_argument("--gui", action="store_true",
+                    help="Tk window (requires a display)")
     args = ap.parse_args()
 
     session, vocab = build_session(args)
+    if args.gui:
+        from gui import StreamGui
+        gui = StreamGui(session, vocab)
+        if args.mic:
+            gui.set_mic_source()
+        elif args.wav:
+            gui.set_wav_source(args.wav, args.chunk_ms)
+        else:
+            sys.exit("need --wav or --mic")
+        gui.run()
+        return
     if args.mic:
         result = stream_mic(session, args.seconds)
     elif args.wav:

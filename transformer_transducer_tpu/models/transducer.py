@@ -70,21 +70,29 @@ class LabelEncoder(nn.Module):
     dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.d_model,
+                                  name="embedding",
+                                  embedding_init=nn.initializers.normal(1.0))
+        self.layers = [TransformerXLLayer(
+            k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
+            d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
+            compute_dtype=self.compute_dtype, name=f"layer_{i}")
+            for i in range(self.n_layer)]
+
     def __call__(self, tokens: jax.Array, attn_mask: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
-        emb = nn.Embed(self.vocab_size, self.d_model, name="embedding",
-                       embedding_init=nn.initializers.normal(1.0))(tokens)
+        emb = self.embedding(tokens)
         # padding_idx=0: token 0 embeds to an all-zero, gradient-free vector.
         emb = emb * (tokens != 0)[..., None].astype(emb.dtype)
         x = emb
-        for i in range(self.n_layer):
-            x = TransformerXLLayer(
-                k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
-                d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
-                compute_dtype=self.compute_dtype,
-                name=f"layer_{i}")(x, attn_mask, deterministic)
+        for layer in self.layers:
+            x = layer(x, attn_mask, deterministic)
         return x
+
+    def embedding_table(self) -> jax.Array:
+        """The (V, d_model) embedding matrix (for output-weight tying)."""
+        return self.embedding.embedding
 
 
 class JointNetwork(nn.Module):
@@ -93,9 +101,15 @@ class JointNetwork(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, enc_state: jax.Array, dec_state: jax.Array) -> jax.Array:
+    def __call__(self, enc_state: jax.Array, dec_state: jax.Array,
+                 tied_projection: Optional[jax.Array] = None) -> jax.Array:
         """(B,T,D)+(B,U,D) -> (B,T,U,V); matching-rank inputs are concatenated
-        directly (the reference's vector-vector decode path)."""
+        directly (the reference's vector-vector decode path).
+
+        ``tied_projection``: optional (V, inner_dim) matrix replacing the
+        output kernel (embedding/output weight tying, reference
+        ``tt/model.py:53-56``); the projection bias stays a free parameter.
+        """
         if enc_state.ndim == 3 and dec_state.ndim == 3:
             t, u = enc_state.shape[1], dec_state.shape[1]
             enc_state = jnp.broadcast_to(enc_state[:, :, None, :],
@@ -105,6 +119,11 @@ class JointNetwork(nn.Module):
         concat = jnp.concatenate([enc_state, dec_state], axis=-1).astype(self.compute_dtype)
         h = nn.Dense(self.inner_dim, name="forward_layer", dtype=self.compute_dtype)(concat)
         h = jnp.tanh(h)
+        if tied_projection is not None:
+            bias = self.param("project_bias", nn.initializers.zeros,
+                              (self.vocab_size,), jnp.float32)
+            out = h @ tied_projection.T.astype(self.compute_dtype) + bias
+            return out.astype(jnp.float32)
         return nn.Dense(self.vocab_size, name="project_layer",
                         dtype=self.compute_dtype)(h).astype(jnp.float32)
 
@@ -117,6 +136,7 @@ class Transducer(nn.Module):
     dec: Tuple[int, ...]
     joint_inner: int
     dropout: float = 0.0
+    share_embedding: bool = False   # tie joint output weights to the embedding
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -143,7 +163,7 @@ class Transducer(nn.Module):
         blank-prefix targets, look-ahead label mask, no audio mask.
         """
         enc_state, dec_state = self.encode_both(inputs, targets, deterministic)
-        return self.joint(enc_state, dec_state)
+        return self.joint_logits(enc_state, dec_state)
 
     def encode_both(self, inputs: jax.Array, targets: jax.Array,
                     deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -175,6 +195,12 @@ class Transducer(nn.Module):
         return self.decoder(tokens, attn_mask, deterministic)
 
     def joint_logits(self, enc_state: jax.Array, dec_state: jax.Array) -> jax.Array:
+        if self.share_embedding:
+            table = self.decoder.embedding_table()
+            assert table.shape == (self.vocab_size, self.joint_inner), (
+                f"weight tying needs embedding {table.shape} == "
+                f"(vocab, joint_inner) {(self.vocab_size, self.joint_inner)}")
+            return self.joint(enc_state, dec_state, tied_projection=table)
         return self.joint(enc_state, dec_state)
 
 
@@ -187,7 +213,11 @@ def build_transducer(model_cfg, compute_dtype=jnp.float32) -> Transducer:
     dec = (model_cfg.dec.n_layer, model_cfg.dec.max_target_length,
            model_cfg.dec.n_head, model_cfg.dec.d_model,
            model_cfg.dec.d_head, model_cfg.dec.d_inner)
+    # NOTE: like the reference (tt/model.py:53), tying is gated on the
+    # `share_embedding` key — the shipped configs define `share_weight`
+    # instead, which is silently ignored there and here (missing-key -> None).
     return Transducer(vocab_size=model_cfg.vocab_size, enc=enc, dec=dec,
                       joint_inner=model_cfg.joint.inner_size,
                       dropout=model_cfg.dropout or 0.0,
+                      share_embedding=bool(model_cfg.share_embedding),
                       compute_dtype=compute_dtype)
