@@ -26,6 +26,8 @@ def main():
                         help="tensor-parallel mesh axis size")
     parser.add_argument("--n_data", type=int, default=None,
                         help="data-parallel mesh axis size (default: all devices)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder layers in backward")
     parser.add_argument("--augment", action="store_true",
                         help="enable waveform augmentation chain")
     parser.add_argument("--epochs", type=int, default=None)
@@ -48,7 +50,8 @@ def main():
 
     trainer = Trainer(cfg, mode=args.mode, log_file=args.log,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                      n_data=args.n_data, n_model=args.n_model)
+                      n_data=args.n_data, n_model=args.n_model,
+                      remat=args.remat)
     trainer.logger.info("JAX backend: %s, devices: %s", jax.default_backend(),
                         jax.devices())
     trainer.fit(epochs=args.epochs, augment=args.augment)

@@ -42,7 +42,7 @@ class Trainer:
     def __init__(self, config: Config, mode: str = "retrain",
                  log_file: str = "train.log", exp_root: str = "egs",
                  compute_dtype=jnp.float32, n_data: Optional[int] = None,
-                 n_model: int = 1):
+                 n_model: int = 1, remat: bool = False):
         self.config = config
         self.mode = mode
         self.exp_dir = os.path.join(exp_root, config.data.name or "exp",
@@ -67,7 +67,8 @@ class Trainer:
                                                  compute_dtype=compute_dtype)
         else:
             self.model = build_transducer(config.model,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          remat=remat)
         if n_data is None:
             # largest data-axis size that divides the batch (the reference's
             # DataParallel analog requires batch % replicas == 0 too)
@@ -192,8 +193,10 @@ class Trainer:
         self.logger.info("-Training-Epoch:%d done, AvgLoss: %.5f", epoch, avg)
         return avg
 
-    def evaluate(self, epoch: int, loader, max_batches: Optional[int] = None) -> float:
+    def evaluate(self, epoch: int, loader, max_batches: Optional[int] = None,
+                 compute_loss: bool = True) -> float:
         total_dist, total_words = 0, 0
+        total_loss, loss_batches = 0.0, 0
         dump_path = os.path.join(self.exp_dir, f"decode_{epoch}.txt")
         max_tokens = self.config.data.max_target_length + 1
 
@@ -211,6 +214,11 @@ class Trainer:
             for bi, batch in enumerate(loader):
                 if max_batches is not None and bi >= max_batches:
                     break
+                if compute_loss:
+                    total_loss += float(self.eval_loss_step(
+                        self.params,
+                        {k: jnp.asarray(v) for k, v in batch.items()}))
+                    loss_batches += 1
                 tokens, counts = run(self.params, jnp.asarray(batch["inputs"]),
                                      jnp.asarray(batch["inputs_length"]))
                 preds = tokens_to_lists(np.asarray(tokens), np.asarray(counts))
@@ -225,9 +233,13 @@ class Trainer:
                     dump.write("Transcripts:" + "".join(r) + "\n")
                     dump.write("---Predicts:" + "".join(p) + "\n")
         cer = 100.0 * total_dist / max(total_words, 1)
-        self.logger.info("-Validation-Epoch:%d, CER: %.5f %%", epoch, cer)
+        avg_loss = total_loss / max(loss_batches, 1)
+        self.logger.info("-Validation-Epoch:%d, AverageLoss: %.5f, "
+                         "CER: %.5f %%", epoch, avg_loss, cer)
         if self.metrics is not None:
             self.metrics.add_scalar("cer", cer, epoch)
+            if loss_batches:
+                self.metrics.add_scalar("eval_loss", avg_loss, epoch)
         return cer
 
     def save(self, epoch: int):
