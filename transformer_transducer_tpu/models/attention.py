@@ -70,6 +70,7 @@ class RelLearnableSelfAttention(nn.Module):
     d_head: int
     dropout: float = 0.0
     dropatt: float = 0.0
+    flash: bool = False   # unmasked attention via the flash Pallas kernel
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,6 +92,25 @@ class RelLearnableSelfAttention(nn.Module):
 
         r_emb = _slice_pos_table(r_emb, klen).astype(self.compute_dtype)
         r_bias = _slice_pos_table(r_bias, klen).astype(self.compute_dtype)
+
+        if band is None and attn_mask is None and self.flash:
+            # full-attention flash kernel (custom VJP, no (B,H,T,T) in HBM);
+            # exact reference score semantics — see
+            # ops/pallas/flash_rel_attention.py
+            from transformer_transducer_tpu.ops.pallas.flash_rel_attention import (
+                flash_rel_attention)
+            cd = self.compute_dtype
+            vec = flash_rel_attention(
+                q.astype(cd), k.astype(cd), v.astype(cd), r_emb.astype(cd),
+                r_w_bias.astype(cd), r_bias.astype(cd),
+                jax.default_backend() != "tpu")
+            vec = vec.reshape(b, qlen, h * dh).astype(self.compute_dtype)
+            out = nn.Dense(self.d_model, use_bias=False, name="out",
+                           dtype=self.compute_dtype)(vec)
+            out = nn.Dropout(self.dropout, name="drop")(
+                out, deterministic=deterministic)
+            return nn.LayerNorm(epsilon=1e-5, name="ln")(
+                (x + out).astype(jnp.float32))
 
         if band is not None:
             # Pallas banded kernel: O(T*window) scores instead of O(T^2);
@@ -176,6 +196,7 @@ class TransformerXLLayer(nn.Module):
     d_head: int
     d_inner: int
     dropout: float = 0.0
+    flash: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -190,7 +211,8 @@ class TransformerXLLayer(nn.Module):
                             (self.k_len, self.n_head), jnp.float32)
         x = RelLearnableSelfAttention(
             n_head=self.n_head, d_model=self.d_model, d_head=self.d_head,
-            dropout=self.dropout, compute_dtype=self.compute_dtype,
+            dropout=self.dropout, flash=self.flash,
+            compute_dtype=self.compute_dtype,
             name="attn")(x, r_emb, r_w_bias, r_bias, attn_mask, deterministic,
                          band=band)
         x = PositionwiseFF(

@@ -46,6 +46,7 @@ class AudioEncoder(nn.Module):
     remat: bool = False   # rematerialize layers in backward (saves the
                           # (B,H,T,T) attention residuals; ~17% faster
                           # fwd+bwd at B=32 on v5e)
+    flash: bool = False   # flash Pallas kernel for unmasked attention
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +60,7 @@ class AudioEncoder(nn.Module):
             x = layer_cls(
                 k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
                 d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
-                compute_dtype=self.compute_dtype,
+                flash=self.flash, compute_dtype=self.compute_dtype,
                 name=f"layer_{i}")(x, attn_mask, deterministic, band)
         return x
 
@@ -143,6 +144,7 @@ class Transducer(nn.Module):
     dropout: float = 0.0
     share_embedding: bool = False   # tie joint output weights to the embedding
     remat: bool = False             # rematerialize encoder layers in backward
+    flash: bool = False             # flash kernel for unmasked encoder attention
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -151,6 +153,7 @@ class Transducer(nn.Module):
         self.encoder = AudioEncoder(n_layer=e[0], k_len=e[1], n_head=e[2],
                                     d_model=e[3], d_head=e[4], d_inner=e[5],
                                     dropout=self.dropout, remat=self.remat,
+                                    flash=self.flash,
                                     compute_dtype=self.compute_dtype)
         self.decoder = LabelEncoder(vocab_size=self.vocab_size, n_layer=d[0],
                                     k_len=d[1], n_head=d[2], d_model=d[3],
@@ -211,7 +214,7 @@ class Transducer(nn.Module):
 
 
 def build_transducer(model_cfg, compute_dtype=jnp.float32,
-                     remat: bool = False) -> Transducer:
+                     remat: bool = False, flash: bool = False) -> Transducer:
     """Construct a :class:`Transducer` from a reference-schema model config
     (``config/*.yaml`` ``model:`` block, e.g. ``config/aishell.yaml:20-48``)."""
     enc = (model_cfg.enc.n_layer, model_cfg.enc.max_input_length,
@@ -227,4 +230,4 @@ def build_transducer(model_cfg, compute_dtype=jnp.float32,
                       joint_inner=model_cfg.joint.inner_size,
                       dropout=model_cfg.dropout or 0.0,
                       share_embedding=bool(model_cfg.share_embedding),
-                      remat=remat, compute_dtype=compute_dtype)
+                      remat=remat, flash=flash, compute_dtype=compute_dtype)
