@@ -52,12 +52,18 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
     def joint(enc_t: jax.Array, dec: jax.Array) -> jax.Array:
         return model.apply(variables, enc_t, dec, method="joint_logits")
 
-    def step(state, t):
-        beams, counts, probs, first = state          # (B,W,U), (B,W), (B,W), (B,)
+    def compute_dec(beams, counts):
         flat_beams = beams.reshape(b * w, max_tokens)
         flat_counts = counts.reshape(b * w)
-        dec = predict_last(flat_beams, flat_counts).reshape(b, w, -1)
+        return predict_last(flat_beams, flat_counts).reshape(b, w, -1)
 
+    def step(state, t):
+        # dec is carried and only recomputed after a frame that expanded the
+        # beams (identical numerics: the label encoder is deterministic)
+        beams, counts, probs, first, dec, stale = state
+
+        dec = jax.lax.cond(stale, lambda: compute_dec(beams, counts),
+                           lambda: dec)
         best = jnp.argmax(probs, axis=1)                       # (B,)
         dec_best = jnp.take_along_axis(
             dec, best[:, None, None].repeat(dec.shape[-1], -1), 1)[:, 0]
@@ -107,7 +113,7 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
         counts = jnp.where(e, appended_counts, counts)
         probs = jnp.where(e, new_probs, probs)
         first = jnp.where(expand, False, first)
-        return (beams, counts, probs, first), None
+        return (beams, counts, probs, first, dec, expand.any()), None
 
     @jax.jit
     def run(t_len_arg):
@@ -116,8 +122,10 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
         counts0 = jnp.ones((b, w), jnp.int32)
         probs0 = jnp.zeros((b, w), jnp.float32)
         first0 = jnp.ones((b,), bool)
-        (beams, counts, probs, _), _ = jax.lax.scan(
-            step, (beams0, counts0, probs0, first0), jnp.arange(t_max))
+        dec0 = compute_dec(beams0, counts0)
+        (beams, counts, probs, _, _, _), _ = jax.lax.scan(
+            step, (beams0, counts0, probs0, first0, dec0,
+                   jnp.asarray(False)), jnp.arange(t_max))
 
         order = jnp.argsort(-probs, axis=1)
         beams = jnp.take_along_axis(beams,
