@@ -1,0 +1,234 @@
+"""Batched multi-stream streaming recognition (serving).
+
+Beyond-reference capability: the reference serves one microphone stream
+(``audio/streamRec*.py``); production serving wants N concurrent streams per
+chip.  ``BatchedStreamingSession`` runs N independent feature pipelines on
+the host and ONE fused device program per processing round — all streams'
+encoder windows and greedy scans advance together (inactive streams ride
+along with ``n_eff = 0``), so device cost is amortized across streams and
+the per-call dispatch latency is paid once per round instead of once per
+stream.
+
+Semantics per stream are identical to :class:`StreamingSession` (same
+smoothing rules, halos, label-history ring, blank-run splits) — property:
+each stream's output matches a solo session fed the same audio.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_transducer_tpu.ops import features_np as F
+from transformer_transducer_tpu.ops.masks import context_mask, look_ahead_mask
+from transformer_transducer_tpu.streaming.session import StreamingConfig
+
+
+class _StreamState:
+    """Host-side feature pipeline of one stream."""
+
+    def __init__(self, cfg: StreamingConfig, d: int):
+        self.audio = np.empty((0,), dtype=np.int16)
+        self.log_mel = np.empty((0, cfg.feature_dim), dtype=np.float32)
+        self.concat = np.empty((0, d), dtype=np.float32)
+        self.subsampled = np.empty((0, d), dtype=np.float32)
+        self.win_audio_position = 0
+        self.win_feature_position = 0
+        self.result: List[int] = []
+        self.segments: List[List[int]] = [[]]
+        self.finished = False
+
+
+class BatchedStreamingSession:
+    def __init__(self, model, variables, cfg: StreamingConfig, n_streams: int):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.n = n_streams
+        self._d = cfg.feature_dim * (1 + cfg.stack_left)
+        if cfg.window_len is None:
+            new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
+            need = cfg.left_len + new_frames + cfg.right_len
+            cfg.window_len = -(-need // 64) * 64
+        self._decode = self._build_batched_decode()
+        self.reset()
+
+    def reset(self):
+        cfg = self.cfg
+        self.streams = [_StreamState(cfg, self._d) for _ in range(self.n)]
+        cap = cfg.label_history + 1
+        self._buf = jnp.zeros((self.n, cap), dtype=jnp.int32)
+        self._count = jnp.ones((self.n,), dtype=jnp.int32)
+        self._blank_run = jnp.zeros((self.n,), dtype=jnp.int32)
+        self._emitted_any = jnp.zeros((self.n,), dtype=jnp.int32)
+        self._dec_state = None
+
+    # ------------------------------------------------------------------
+    def _build_batched_decode(self):
+        cfg = self.cfg
+        n = self.n
+        cap = cfg.label_history + 1
+        lmask = look_ahead_mask(cap)
+        length = cfg.window_len
+        left, right = cfg.left_context, cfg.right_context
+
+        def predict_last(buf, count):
+            dec = self.model.apply(self.variables, buf, lmask, method="predict")
+            idx = (count - 1)[:, None, None].astype(jnp.int32)
+            return jnp.take_along_axis(
+                dec, idx.repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
+
+        @jax.jit
+        def batched_decode(windows, left_frames, n_effs, buf, count, dec_state,
+                           blank_run, emitted_any):
+            """windows (N, L, D); per-stream left_frames/n_effs (N,)."""
+            amask = context_mask(length, left, right)
+            enc = self.model.apply(self.variables, windows, amask,
+                                   method="encode")           # (N, L, D)
+            enc_pad = jnp.pad(enc, ((0, 0), (0, length), (0, 0)))
+            enc_eff = jax.vmap(
+                lambda e, lf: jax.lax.dynamic_slice_in_dim(e, lf, length)
+            )(enc_pad, left_frames)                           # (N, L, D)
+
+            def step(state, t):
+                buf, count, dec_state, blank_run, emitted_any = state
+                enc_t = jax.lax.dynamic_slice_in_dim(enc_eff, t, 1, axis=1)[:, 0]
+                logits = self.model.apply(self.variables, enc_t, dec_state,
+                                          method="joint_logits")   # (N, V)
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                valid = (t < n_effs) & (pred != 0)
+                split = valid & (blank_run >= cfg.blank_split) & (emitted_any > 0)
+
+                pos = jnp.minimum(count, cap - 1)
+                onehot = jax.nn.one_hot(pos, cap, dtype=buf.dtype)
+                appended = buf * (1 - onehot) + pred[:, None] * onehot
+                shifted = jnp.concatenate(
+                    [buf[:, :1], buf[:, 2:], pred[:, None]], axis=1)
+                new_buf = jnp.where((count < cap)[:, None], appended, shifted)
+                new_buf = jnp.where(valid[:, None], new_buf, buf)
+                new_count = jnp.where(valid, jnp.minimum(count + 1, cap), count)
+                dec_state = jax.lax.cond(
+                    valid.any(),
+                    lambda: jnp.where(valid[:, None],
+                                      predict_last(new_buf, new_count),
+                                      dec_state),
+                    lambda: dec_state)
+                had = emitted_any > 0
+                new_blank = jnp.where(valid, 0,
+                                      blank_run + ((t < n_effs) & (pred == 0) & had))
+                return ((new_buf, new_count, dec_state, new_blank,
+                         emitted_any + valid), (jnp.where(valid, pred, 0), split))
+
+            (buf, count, dec_state, blank_run, emitted_any), (toks, splits) = \
+                jax.lax.scan(step, (buf, count, dec_state, blank_run,
+                                    emitted_any), jnp.arange(length))
+            return buf, count, dec_state, blank_run, emitted_any, toks, splits
+
+        self._predict_last = jax.jit(predict_last)
+        return batched_decode
+
+    # ------------------------------------------------------------------
+    def accept_waveform(self, stream: int, samples: np.ndarray) -> None:
+        st = self.streams[stream]
+        assert not st.finished
+        st.audio = np.concatenate([st.audio, samples.astype(np.int16)])
+
+    def finalize(self, stream: int) -> None:
+        self.streams[stream].finished = True
+
+    def _advance_features(self, st: _StreamState) -> None:
+        cfg = self.cfg
+        while True:
+            remaining = len(st.audio) - st.win_audio_position
+            if remaining >= cfg.win_audio:
+                win = st.audio[st.win_audio_position:
+                               st.win_audio_position + cfg.win_audio]
+                last = False
+            elif st.finished and remaining >= 512:
+                win = st.audio[st.win_audio_position:]
+                last = True
+            else:
+                return
+            feats = F.logmel_masked(win, cfg.sample_rate, cfg.feature_dim)
+            if not last:
+                feats = feats[:-3]
+            n_new = feats.shape[0]
+            if n_new > 0:
+                st.log_mel = np.concatenate([st.log_mel, feats])
+                src = st.log_mel[-cfg.stack_left - n_new:]
+                stacked = F.stack_frames(src, cfg.stack_left, 0)[
+                    src.shape[0] - n_new:]
+                before = st.concat.shape[0]
+                st.concat = np.concatenate([st.concat, stacked])
+                off = (-before) % cfg.subsample
+                st.subsampled = np.concatenate(
+                    [st.subsampled, st.concat[before + off::cfg.subsample]])
+            if last:
+                st.win_audio_position = len(st.audio)
+                return
+            st.win_audio_position += cfg.audio_step
+
+    def process(self) -> List[List[int]]:
+        """One fused device round over all streams; returns new tokens per
+        stream.  Call repeatedly until it returns all-empty."""
+        cfg = self.cfg
+        n = self.n
+        windows = np.zeros((n, cfg.window_len, self._d), np.float32)
+        left_frames = np.zeros((n,), np.int32)
+        n_effs = np.zeros((n,), np.int32)
+        for i, st in enumerate(self.streams):
+            self._advance_features(st)
+            total = st.subsampled.shape[0]
+            future = total - st.win_feature_position
+            if future <= 0 or (not st.finished and future <= cfg.right_len):
+                continue
+            left_frame = min(cfg.left_len, st.win_feature_position)
+            start = st.win_feature_position - left_frame
+            end = min(total, start + cfg.window_len)
+            right_frame = cfg.right_len if (end < total or not st.finished) else 0
+            window = st.subsampled[start:end]
+            n_eff = window.shape[0] - left_frame - right_frame
+            if n_eff <= 0:
+                continue
+            windows[i, :window.shape[0]] = window
+            left_frames[i] = left_frame
+            n_effs[i] = n_eff
+        if not n_effs.any():
+            return [[] for _ in range(n)]
+
+        (self._buf, self._count, self._dec_state, self._blank_run,
+         self._emitted_any, toks, splits) = self._decode(
+            jnp.asarray(windows), jnp.asarray(left_frames), jnp.asarray(n_effs),
+            self._buf, self._count, self._ensure_dec(), self._blank_run,
+            self._emitted_any)
+        toks = np.asarray(toks)      # (L, N)
+        splits = np.asarray(splits)
+        out: List[List[int]] = [[] for _ in range(n)]
+        for i, st in enumerate(self.streams):
+            st.win_feature_position += int(n_effs[i])
+            for t in range(int(n_effs[i])):
+                tok = int(toks[t, i])
+                if tok == 0:
+                    continue
+                if splits[t, i] and st.segments[-1]:
+                    st.segments.append([])
+                st.result.append(tok)
+                st.segments[-1].append(tok)
+                out[i].append(tok)
+        return out
+
+    def _ensure_dec(self):
+        if self._dec_state is None:
+            self._dec_state = self._predict_last(self._buf, self._count)
+        return self._dec_state
+
+    def run_to_completion(self, max_rounds: int = 10000) -> List[List[int]]:
+        """Drain all streams (they must all be finalized first)."""
+        assert all(st.finished for st in self.streams), "finalize() all streams"
+        for _ in range(max_rounds):
+            if not any(self.process()):
+                break
+        return [st.result for st in self.streams]
