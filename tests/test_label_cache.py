@@ -1,0 +1,62 @@
+"""Incremental KV-cached label encoder == full causal-mask recompute."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_transducer_tpu.decoding import label_cache as lc
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.ops.masks import look_ahead_mask
+
+
+def _model(n_dec_layers=2, seed=0):
+    model = Transducer(vocab_size=12, enc=(1, 16, 2, 16, 8, 32),
+                       dec=(n_dec_layers, 6, 2, 16, 8, 32), joint_inner=16)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4, 16)),
+                           jnp.zeros((1, 2), jnp.int32))
+    return model, variables
+
+
+@pytest.mark.parametrize("n_layers", [1, 2])
+def test_incremental_equals_full_recompute(n_layers):
+    model, variables = _model(n_layers)
+    params = variables["params"]
+    rng = np.random.RandomState(0)
+    b, cap = 3, 8   # cap > dec k_len (6): exercises the front-pad rule too
+    seq = rng.randint(0, 12, size=(b, cap)).astype(np.int32)
+    seq[:, 0] = 0   # blank seed
+
+    cache = lc.init_cache(params, b, cap)
+    for u in range(cap):
+        out, cache = lc.step(params, jnp.asarray(seq[:, u]), cache,
+                             jnp.ones((b,), bool))
+        # full recompute over the first u+1 tokens with the causal mask
+        buf = jnp.asarray(seq[:, :u + 1])
+        full = model.apply(variables, buf, look_ahead_mask(u + 1),
+                           method="predict")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full[:, -1]),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"position {u}")
+
+
+def test_masked_rows_do_not_advance():
+    model, variables = _model(1)
+    params = variables["params"]
+    b, cap = 2, 6
+    cache = lc.init_cache(params, b, cap)
+    out1, cache = lc.step(params, jnp.asarray([0, 0]), cache,
+                          jnp.ones((b,), bool))
+    # advance only row 0
+    out2, cache = lc.step(params, jnp.asarray([3, 7]), cache,
+                          jnp.asarray([True, False]))
+    assert int(cache["idx"][0]) == 2 and int(cache["idx"][1]) == 1
+    # row 1's cache is untouched: re-stepping it with its token must equal a
+    # fresh 2-token recompute
+    out3, cache = lc.step(params, jnp.asarray([5, 7]), cache,
+                          jnp.asarray([False, True]))
+    buf = jnp.asarray([[0, 7]])
+    full = model.apply(variables, buf, look_ahead_mask(2), method="predict")
+    np.testing.assert_allclose(np.asarray(out3[1]), np.asarray(full[0, -1]),
+                               rtol=2e-5, atol=2e-5)

@@ -38,38 +38,83 @@ from transformer_transducer_tpu.models.transducer import Transducer
 from transformer_transducer_tpu.ops.masks import look_ahead_mask
 
 
+def _is_native_family(variables) -> bool:
+    params = variables.get("params", variables)
+    dec = params.get("decoder", {})
+    return "layer_0" in dec and "attn" in dec.get("layer_0", {})
+
+
 def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
                   t_len: jax.Array, max_tokens: int = 43,
-                  blank: int = 0) -> Tuple[jax.Array, jax.Array]:
+                  blank: int = 0, use_cache: Optional[bool] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
     """Batched greedy decode.
 
     Args:
       enc_states: (B, T, D) encoder output.
       t_len: (B,) valid frame counts.
       max_tokens: static token budget (>= 1 + longest expected emission).
+      use_cache: KV-cached incremental label encoding (numerics-identical
+        under the causal mask; see ``decoding/label_cache.py``).  Defaults to
+        on for the native family, off otherwise.
     Returns:
       tokens: (B, max_tokens) with tokens[:, 0] == blank seed,
       counts: (B,) number of valid entries in ``tokens`` (including seed).
     """
     b, t_max, _ = enc_states.shape
     label_mask = look_ahead_mask(max_tokens)
+    if use_cache is None:
+        use_cache = _is_native_family(variables)
 
     def predict_last(buf: jax.Array, count: jax.Array) -> jax.Array:
         dec = model.apply(variables, buf, label_mask, method="predict")
         return jnp.take_along_axis(dec, (count - 1)[:, None, None].astype(jnp.int32)
                                    .repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
 
-    def step(state, t):
-        buf, count, dec_state = state
+    def joint_argmax(t, dec_state, count):
         logits = model.apply(variables, enc_states[:, t], dec_state,
                              method="joint_logits")
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        valid = (t < t_len) & (pred != blank) & (count < max_tokens)
+        return (t < t_len) & (pred != blank) & (count < max_tokens), pred
+
+    def update_buf(buf, count, pred, valid):
         pos = jnp.where(valid, count, 0)
         onehot = jax.nn.one_hot(pos, max_tokens, dtype=buf.dtype)
         buf = jnp.where(valid[:, None],
                         buf * (1 - onehot) + pred[:, None] * onehot, buf)
-        count = count + valid.astype(count.dtype)
+        return buf, count + valid.astype(count.dtype)
+
+    if use_cache:
+        from transformer_transducer_tpu.decoding import label_cache as lc
+        params = variables.get("params", variables)
+
+        def step(state, t):
+            buf, count, dec_state, cache = state
+            valid, pred = joint_argmax(t, dec_state, count)
+            buf, count = update_buf(buf, count, pred, valid)
+            dec_state, cache = jax.lax.cond(
+                valid.any(),
+                lambda: _cached_advance(pred, valid, dec_state, cache),
+                lambda: (dec_state, cache))
+            return (buf, count, dec_state, cache), None
+
+        def _cached_advance(pred, valid, dec_state, cache):
+            out, cache = lc.step(params, pred, cache, valid)
+            return jnp.where(valid[:, None], out, dec_state), cache
+
+        cache0 = lc.init_cache(params, b, max_tokens)
+        dec0, cache0 = lc.step(params, jnp.zeros((b,), jnp.int32), cache0,
+                               jnp.ones((b,), bool))
+        buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32)
+        count0 = jnp.ones((b,), dtype=jnp.int32)
+        (buf, count, _, _), _ = jax.lax.scan(
+            step, (buf0, count0, dec0, cache0), jnp.arange(t_max))
+        return buf, count
+
+    def step(state, t):
+        buf, count, dec_state = state
+        valid, pred = joint_argmax(t, dec_state, count)
+        buf, count = update_buf(buf, count, pred, valid)
         # scalar-gated recompute: blank frames skip the label encoder
         dec_state = jax.lax.cond(
             valid.any(),
