@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--beam", action="store_true", help="width-5 beam search")
     ap.add_argument("--full-context", action="store_true",
                     help="no banded mask (offline model)")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="KEY=VALUE", help="config override (dotted key)")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +45,14 @@ def main():
     from transformer_transducer_tpu.decoding.greedy import greedy_decode, tokens_to_lists
 
     cfg = load_config(args.config)
+    for kv in getattr(args, "overrides", []):
+        key, value = kv.split("=", 1)
+        try:
+            import ast
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        cfg.override(key, value)
     vocab = Vocabulary.from_file(cfg.data.vocab)
     model = build_transducer(cfg.model)
 

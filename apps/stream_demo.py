@@ -32,6 +32,14 @@ def build_session(args):
         StreamingConfig, StreamingSession)
 
     cfg = load_config(args.config)
+    for kv in getattr(args, "overrides", []):
+        key, value = kv.split("=", 1)
+        try:
+            import ast
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        cfg.override(key, value)
     vocab = Vocabulary.from_file(cfg.data.vocab)
     model = build_transducer(cfg.model)
     d_in = (cfg.data.feature_dim or 128) * (1 + (cfg.data.left_context_width or 0)
@@ -108,6 +116,8 @@ def main():
     ap.add_argument("--rtf", action="store_true", help="report RTF")
     ap.add_argument("--gui", action="store_true",
                     help="Tk window (requires a display)")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="KEY=VALUE", help="config override (dotted key)")
     args = ap.parse_args()
 
     session, vocab = build_session(args)

@@ -60,3 +60,21 @@ def test_masked_rows_do_not_advance():
     full = model.apply(variables, buf, look_ahead_mask(2), method="predict")
     np.testing.assert_allclose(np.asarray(out3[1]), np.asarray(full[0, -1]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_greedy_cache_with_numpy_leaf_params(tmp_path):
+    """Restored checkpoints hold numpy leaves; cached greedy must accept them
+    (regression: TracerArrayConversionError on table[traced_idx])."""
+    from transformer_transducer_tpu.decoding.greedy import greedy_decode
+    from transformer_transducer_tpu.utils import checkpoint as ck
+    model, variables = _model(2)
+    path = ck.save_checkpoint(str(tmp_path / "ck"), variables["params"])
+    params, _, _ = ck.load_checkpoint(path, variables["params"])
+    assert isinstance(jax.tree_util.tree_leaves(params)[0], np.ndarray)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    enc = model.apply({"params": params}, x, None, method="encode")
+    tokens, counts = greedy_decode(model, {"params": params}, enc,
+                                   jnp.asarray([6, 4]), max_tokens=6)
+    ref_tokens, ref_counts = greedy_decode(model, variables, enc,
+                                           jnp.asarray([6, 4]), max_tokens=6)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))

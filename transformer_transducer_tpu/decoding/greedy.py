@@ -86,7 +86,10 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
 
     if use_cache:
         from transformer_transducer_tpu.decoding import label_cache as lc
-        params = variables.get("params", variables)
+        # restored checkpoints hold numpy leaves; label_cache indexes tables
+        # with traced ids, which numpy rejects
+        params = jax.tree_util.tree_map(
+            jnp.asarray, variables.get("params", variables))
 
         def step(state, t):
             buf, count, dec_state, cache = state

@@ -54,7 +54,9 @@ def _rel_rows(table: jax.Array, idx: jax.Array, cap: int) -> jax.Array:
     k_len = table.shape[0]
     j = jnp.arange(cap)
     rows = jnp.clip(k_len - 1 - (idx - j), 0, k_len - 1)
-    return table[rows]
+    # jnp.asarray: restored checkpoints hold numpy arrays, which reject
+    # traced indices
+    return jnp.asarray(table)[rows]
 
 
 def step(params: Dict, tokens: jax.Array, cache: Dict,
