@@ -158,3 +158,53 @@ def test_trapezoid_session_runs_and_covers_all_frames():
     consumed = session.win_feature_position + session.win_len - session.min_win
     assert session.win_feature_position == session.subsampled.shape[0] or \
         consumed >= session.subsampled.shape[0]
+
+
+def test_espnet_session_matches_offline_greedy():
+    """ESPnet-family streaming == offline greedy (its rel-pos encoding is
+    shift-invariant, so no window pinning is even needed)."""
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    from transformer_transducer_tpu.utils.config import Config
+    vocab = 12
+    cfg_m = Config({
+        "enc": {"input_size": 16, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 2, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": None, "padding_idx": -1},
+        "dec": {"input_size": vocab, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "embed", "padding_idx": -1},
+        "joint": {"vocab_size": vocab, "encoder_output_size": 16,
+                  "decoder_output_size": 16, "joint_space_size": 16,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": 3, "encoder_right_mask": 2,
+                 "decoder_left_mask": 2},
+    })
+    model = build_espnet_transducer(cfg_m)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                           jnp.asarray([8]), jnp.zeros((1, 4), jnp.int32),
+                           jnp.asarray([4]))
+    scfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                           feature_dim=4, win_audio=4800 + 480,
+                           audio_step=4800, window_len=64,
+                           seed_token=vocab - 1)
+    session = StreamingSession(model, variables, scfg)
+    assert session._is_espnet()
+    rng = np.random.RandomState(11)
+    wav = (np.sin(np.arange(12000) * 0.04) * 9000
+           + rng.randn(12000) * 1500).astype(np.int16)
+    out = []
+    for i in range(0, len(wav), 3000):
+        out += session.accept_waveform(wav[i:i + 3000])
+    out += session.finalize()
+
+    feats = session.subsampled
+    enc = model.apply(variables, jnp.asarray(feats[None]), None,
+                      method="encode")
+    tokens, counts = greedy_decode(model, variables, enc,
+                                   jnp.asarray([feats.shape[0]]),
+                                   max_tokens=41, seed_token=vocab - 1)
+    offline = tokens_to_lists(np.asarray(tokens), np.asarray(counts))[0]
+    assert out == offline, f"streamed {out} != offline {offline}"

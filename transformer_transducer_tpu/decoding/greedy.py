@@ -28,7 +28,7 @@ reference behaviour bit-for-bit for parity tests.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +46,8 @@ def _is_native_family(variables) -> bool:
 
 def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
                   t_len: jax.Array, max_tokens: int = 43,
-                  blank: int = 0, use_cache: Optional[bool] = None
-                  ) -> Tuple[jax.Array, jax.Array]:
+                  blank: int = 0, use_cache: Optional[bool] = None,
+                  seed_token: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Batched greedy decode.
 
     Args:
@@ -57,6 +57,9 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
       use_cache: KV-cached incremental label encoding (numerics-identical
         under the causal mask; see ``decoding/label_cache.py``).  Defaults to
         on for the native family, off otherwise.
+      seed_token: history seed — blank 0 for the native family
+        (``tt/model.py:72``), sos == vocab-1 for the espnet family
+        (``tt_espnet/model.py:86``).
     Returns:
       tokens: (B, max_tokens) with tokens[:, 0] == blank seed,
       counts: (B,) number of valid entries in ``tokens`` (including seed).
@@ -106,9 +109,11 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
             return jnp.where(valid[:, None], out, dec_state), cache
 
         cache0 = lc.init_cache(params, b, max_tokens)
-        dec0, cache0 = lc.step(params, jnp.zeros((b,), jnp.int32), cache0,
+        dec0, cache0 = lc.step(params,
+                               jnp.full((b,), seed_token, jnp.int32), cache0,
                                jnp.ones((b,), bool))
-        buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32)
+        buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32) \
+            .at[:, 0].set(seed_token)
         count0 = jnp.ones((b,), dtype=jnp.int32)
         (buf, count, _, _), _ = jax.lax.scan(
             step, (buf0, count0, dec0, cache0), jnp.arange(t_max))
@@ -126,7 +131,7 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
             lambda: dec_state)
         return (buf, count, dec_state), None
 
-    buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32)
+    buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32).at[:, 0].set(seed_token)
     count0 = jnp.ones((b,), dtype=jnp.int32)
     dec0 = predict_last(buf0, count0)
     (buf, count, _), _ = jax.lax.scan(step, (buf0, count0, dec0),

@@ -60,6 +60,7 @@ class StreamingConfig:
     sample_rate: int = 16000
     label_history: int = 40
     blank_split: int = 15
+    seed_token: int = 0   # label-history seed: blank (native) / sos (espnet)
     # Fixed encoder window length.  All windows are padded to this single
     # static shape: one compiled program, and — crucially — one rel-position
     # table slice.  The table slice depends on sequence length (reference
@@ -72,6 +73,14 @@ class StreamingConfig:
 
     @classmethod
     def from_config(cls, cfg) -> "StreamingConfig":
+        if cfg.model.mask is not None:   # espnet-schema config
+            return cls(left_context=cfg.model.mask.encoder_left_mask,
+                       right_context=cfg.model.mask.encoder_right_mask,
+                       n_layer=cfg.model.enc.num_blocks,
+                       feature_dim=cfg.data.feature_dim or 128,
+                       stack_left=cfg.data.left_context_width or 3,
+                       subsample=cfg.data.subsample or 3,
+                       seed_token=cfg.model.joint.vocab_size - 1)
         return cls(left_context=cfg.model.enc.left_context or 10,
                    right_context=cfg.model.enc.right_context or 2,
                    n_layer=cfg.model.enc.n_layer,
@@ -121,7 +130,8 @@ class StreamingSession:
         # device-side decode state: label ring buffer (blank seed + last <=40
         # tokens), its fill count, cached label-encoder state, blank-run len
         cap = self.cfg.label_history + 1
-        self._buf = jnp.zeros((1, cap), dtype=jnp.int32)
+        self._buf = jnp.zeros((1, cap), dtype=jnp.int32) \
+            .at[:, 0].set(self.cfg.seed_token)
         self._count = jnp.ones((1,), dtype=jnp.int32)
         self._blank_run = jnp.zeros((1,), dtype=jnp.int32)
         self._emitted_any = jnp.zeros((1,), dtype=jnp.int32)
@@ -148,15 +158,23 @@ class StreamingSession:
         length = cfg.window_len
         left, right = cfg.left_context, cfg.right_context
 
+        is_espnet = self._is_espnet()
+
         @jax.jit
         def window_decode(window, left_frame, n_eff, buf, count, dec_state,
                           blank_run, emitted_any):
             """Fused per-window program: banded encode + greedy joint scan —
             ONE device call per window (the per-call dispatch latency is the
             streaming bottleneck, not the FLOPs)."""
-            amask = context_mask(length, left, right)
-            enc = self.model.apply(self.variables, window[None], amask,
-                                   method="encode")[0]
+            if is_espnet:
+                # espnet encoder bands internally (model.mask config); its
+                # rel-pos encoding is shift-invariant, so no table pinning
+                enc = self.model.apply(self.variables, window[None], None,
+                                       method="encode")[0]
+            else:
+                amask = context_mask(length, left, right)
+                enc = self.model.apply(self.variables, window[None], amask,
+                                       method="encode")[0]
             # pad before the dynamic slice so it never clamps
             enc_pad = jnp.pad(enc, ((0, length), (0, 0)))
             enc_eff = jax.lax.dynamic_slice_in_dim(enc_pad, left_frame, length)
@@ -198,6 +216,11 @@ class StreamingSession:
 
         self._predict_last = jax.jit(predict_last)
         return window_decode
+
+    def _is_espnet(self) -> bool:
+        params = self.variables.get("params", self.variables)
+        dec = params.get("decoder", {})
+        return not ("layer_0" in dec and "attn" in dec.get("layer_0", {}))
 
     def _build_encode(self):
         """Stand-alone banded window encoder (diagnostics / tests; the hot

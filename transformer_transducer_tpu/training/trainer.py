@@ -208,8 +208,11 @@ class Trainer:
             enc = self.model.apply({"params": params}, inputs,
                                    t_len if self.is_espnet else None,
                                    method="encode")
+            # espnet family seeds the label history with sos == vocab-1
+            # (tt_espnet/model.py:86); native seeds blank 0
+            seed = (self.model.vocab_size - 1) if self.is_espnet else 0
             return greedy_decode(self.model, {"params": params}, enc, t_len,
-                                 max_tokens=max_tokens)
+                                 max_tokens=max_tokens, seed_token=seed)
 
         with open(dump_path, "a", encoding="utf-8") as dump:
             for bi, batch in enumerate(loader):
