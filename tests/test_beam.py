@@ -106,3 +106,38 @@ def test_beam_width_one_close_to_greedy():
                                    max_tokens=8)
     greedy = tokens_to_lists(np.asarray(tokens), np.asarray(counts))[0]
     assert got == greedy, f"width-1 beam {got} != greedy {greedy}"
+
+
+def test_reference_exact_beam_matches_torch():
+    torch = pytest.importorskip("torch")
+    from reference_harness import load_reference_tt, tiny_model_config
+    from transformer_transducer_tpu.utils import torch_convert as tc
+    from transformer_transducer_tpu.decoding.beam import (
+        beam_search_reference_exact)
+
+    tt = load_reference_tt()
+    cfg = tiny_model_config()
+    torch.manual_seed(4)
+    ref = tt.model.Transducer(cfg)
+    ref.eval()
+    to_np = lambda m: {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    variables = jax.tree_util.tree_map(jnp.asarray, tc.transducer_params(
+        to_np(ref.encoder), to_np(ref.decoder), to_np(ref.joint)))
+    from transformer_transducer_tpu.models.transducer import Transducer
+    model = Transducer(vocab_size=cfg.vocab_size,
+                       enc=(cfg.enc.n_layer, cfg.enc.max_input_length,
+                            cfg.enc.n_head, cfg.enc.d_model, cfg.enc.d_head,
+                            cfg.enc.d_inner),
+                       dec=(cfg.dec.n_layer, cfg.dec.max_target_length,
+                            cfg.dec.n_head, cfg.dec.d_model, cfg.dec.d_head,
+                            cfg.dec.d_inner),
+                       joint_inner=cfg.joint.inner_size, dropout=0.0)
+
+    rng = np.random.RandomState(21)
+    x = rng.randn(1, 8, cfg.enc.d_model).astype(np.float32) * 2
+    with torch.no_grad():
+        ref_res = ref.recognize_beam_search(torch.from_numpy(x),
+                                            torch.tensor([8]))
+    enc = model.apply(variables, jnp.asarray(x), None, method="encode")
+    got = beam_search_reference_exact(model, variables, np.asarray(enc)[0], 8)
+    assert got == ref_res[0], f"{got} != {ref_res[0]}"

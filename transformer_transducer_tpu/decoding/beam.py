@@ -162,3 +162,75 @@ def recognize_beam(model: Transducer, variables, inputs: jax.Array,
         n = int(np.asarray(counts)[i, 0])
         out.append(list(map(int, np.asarray(beams)[i, 0, 1:n])))
     return out
+
+
+def beam_search_reference_exact(model: Transducer, variables,
+                                enc_states_b: np.ndarray, t_len_b: int,
+                                beam_width: int = 5) -> List[int]:
+    """Bit-exact replica of the reference's beam search for ONE utterance
+    (``tt/model.py:110-179``), dynamic shapes, no jit — including its
+    unmasked label encoding, top-(k+1)-minus-blank expansion, first-iteration
+    seeding and ``heapq.nlargest`` tie-breaking.  Test oracle for torch
+    parity (the compiled path above deliberately uses the causal label mask,
+    see ``decoding/greedy.py``)."""
+    import copy
+    import heapq
+
+    w = beam_width
+
+    def dec_last(tokens):
+        buf = jnp.asarray([tokens], dtype=jnp.int32)
+        dec = model.apply(variables, buf, None, method="predict")
+        return dec[0, -1]
+
+    def softmax_np(tokens, t):
+        logits = model.apply(variables, jnp.asarray(enc_states_b[t]),
+                             dec_last(tokens), method="joint_logits")
+        return np.array(jax.nn.softmax(logits))
+
+    token_list = [[0] for _ in range(w)]
+    probability = np.zeros((w,), dtype=float)
+    token_child_list = [[[0] for _ in range(w)] for _ in range(w)]
+    probability_child = np.zeros((w, w), dtype=float)
+    first = True
+
+    for t in range(int(t_len_b)):
+        max_index = int(probability.argmax())
+        out = softmax_np(token_list[max_index], t)
+        if int(out.argmax()) == 0:
+            continue
+        for token_index in range(w):
+            out = softmax_np(token_list[token_index], t)
+            order = np.argsort(-out, kind="stable")[:w + 1]
+            values = [float(out[i]) for i in order]
+            indices = [int(i) for i in order]
+            if 0 in indices:
+                zi = indices.index(0)
+                indices.pop(zi)
+                values.pop(zi)
+            else:
+                indices.pop(-1)
+                values.pop(-1)
+            if first:
+                for i in range(len(indices)):
+                    token_child_list[i][token_index].append(indices[i])
+                probability_child[:, token_index] = np.log(values)
+            else:
+                for i in range(len(indices)):
+                    token_child_list[token_index][i].append(indices[i])
+                probability_child[token_index] = (probability[token_index]
+                                                  + np.log(values))
+        if first:
+            first = False
+            for i in range(w):
+                token_list[i] = copy.deepcopy(token_child_list[i][0])
+                probability[i] = probability_child[i, 0]
+        else:
+            top = heapq.nlargest(w, range(w * w), probability_child.take)
+            new_tokens, new_probs = [], np.zeros((w,))
+            for i, idx in enumerate(top):
+                new_probs[i] = probability_child[idx // w, idx % w]
+                new_tokens.append(copy.deepcopy(
+                    token_child_list[idx // w][idx % w]))
+            token_list, probability = new_tokens, new_probs
+    return token_list[int(probability.argmax())][1:]
