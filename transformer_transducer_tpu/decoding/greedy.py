@@ -61,7 +61,7 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
         (``tt/model.py:72``), sos == vocab-1 for the espnet family
         (``tt_espnet/model.py:86``).
     Returns:
-      tokens: (B, max_tokens) with tokens[:, 0] == blank seed,
+      tokens: (B, max_tokens) with tokens[:, 0] == the seed token,
       counts: (B,) number of valid entries in ``tokens`` (including seed).
     """
     b, t_max, _ = enc_states.shape
