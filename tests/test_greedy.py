@@ -43,6 +43,9 @@ def _python_causal_greedy(model, variables, enc_b, t_len_b, max_tokens=7):
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_greedy_matches_dynamic_causal_oracle(seed):
+    if jax.default_backend() == "tpu":
+        pytest.skip("random-model argmax ties flip under MXU f32 rounding; "
+                    "the oracle equality is a logic test (CPU)")
     model, variables = _tiny_model(seed=seed)
     rng = np.random.RandomState(seed)
     b, t = 3, 10

@@ -10,6 +10,11 @@ from transformer_transducer_tpu.decoding import label_cache as lc
 from transformer_transducer_tpu.models.transducer import Transducer
 from transformer_transducer_tpu.ops.masks import look_ahead_mask
 
+# compiled TPU f32 matmuls round through bf16 MXU passes; the incremental and
+# dense paths group operations differently, so compiled equality is approximate
+TOL = (dict(rtol=2e-5, atol=2e-5) if jax.default_backend() != "tpu"
+       else dict(rtol=3e-2, atol=2e-2))
+
 
 def _model(n_dec_layers=2, seed=0):
     model = Transducer(vocab_size=12, enc=(1, 16, 2, 16, 8, 32),
@@ -37,8 +42,7 @@ def test_incremental_equals_full_recompute(n_layers):
         full = model.apply(variables, buf, look_ahead_mask(u + 1),
                            method="predict")
         np.testing.assert_allclose(np.asarray(out), np.asarray(full[:, -1]),
-                                   rtol=2e-5, atol=2e-5,
-                                   err_msg=f"position {u}")
+                                   err_msg=f"position {u}", **TOL)
 
 
 def test_masked_rows_do_not_advance():
@@ -59,7 +63,7 @@ def test_masked_rows_do_not_advance():
     buf = jnp.asarray([[0, 7]])
     full = model.apply(variables, buf, look_ahead_mask(2), method="predict")
     np.testing.assert_allclose(np.asarray(out3[1]), np.asarray(full[0, -1]),
-                               rtol=2e-5, atol=2e-5)
+                               **TOL)
 
 
 def test_greedy_cache_with_numpy_leaf_params(tmp_path):
