@@ -20,6 +20,32 @@ import jax.numpy as jnp
 
 FRAME_SECONDS = 0.03  # 10 ms hop x subsample 3
 
+# bf16 peak of the bench chip (1x TPU v5e = 197 TFLOP/s); override with
+# TTX_PEAK_FLOPS when benching elsewhere
+PEAK_FLOPS = float(__import__("os").environ.get("TTX_PEAK_FLOPS", 197e12))
+
+
+def transducer_flops(b, t, u1, v, d=512, inner=1024, n_enc=4, n_dec=1,
+                     d_ffn=1024):
+    """Analytic FORWARD FLOPs of the transducer at aishell-config shapes
+    (multiply-add = 2 FLOPs).  The joint's ``inner x V`` matmul over every
+    (t, u) lattice cell dominates (~90 % at these shapes).  The fused loss
+    projects enc/dec through the concat-joint's weight halves separately
+    (concat([e,d]) @ W == e @ W_top + d @ W_bot), which is what is counted.
+    """
+    def layer(tt):
+        qkv = 2 * 3 * tt * d * d
+        scores = 2 * 2 * tt * tt * d     # AC + BD rel-attention einsums
+        av = 2 * tt * tt * d             # softmax @ V
+        out = 2 * tt * d * d
+        ffn = 2 * 2 * tt * d * d_ffn
+        return qkv + scores + av + out + ffn
+
+    enc = b * n_enc * layer(t)
+    dec = b * n_dec * layer(u1)
+    joint = 2 * b * (t * d * inner + u1 * d * inner + t * u1 * inner * v)
+    return enc + dec + joint
+
 
 def _force(out):
     """Reduce any output pytree to a host scalar with a SINGLE device->host
@@ -97,6 +123,26 @@ def bench_train_step(batch=4, t=410, u=42):
     return dt * 1e3  # ms / step
 
 
+def bench_encode_mfu(batch=16, t=410):
+    """Encoder-only MFU at a saturating batch (aishell config, bf16)."""
+    from transformer_transducer_tpu.models.transducer import Transducer
+
+    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
+                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
+                       compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, t, 512))
+    params = model.init(rng, x[:1, :8], jnp.zeros((1, 4), jnp.int32))
+
+    @jax.jit
+    def run(x):
+        return model.apply(params, x, None, method=Transducer.encode)
+
+    dt = _timeit(run, x, iters=5)
+    flops = transducer_flops(batch, t, 0, 0)  # encoder term only
+    return flops / dt / PEAK_FLOPS
+
+
 def bench_rnnt_loss(batch=4, t=410, u=42, v=4334):
     """Fused joint+lattice fwd+bwd from encoder/decoder states."""
     from transformer_transducer_tpu.ops.rnnt_loss import rnnt_loss_fused
@@ -123,10 +169,17 @@ def bench_rnnt_loss(batch=4, t=410, u=42, v=4334):
 
 
 def bench_streaming_rtf(seconds=30):
-    """Warm single-stream RTF on the aishell config through the full
-    streaming session (chunked features + fused window decode).  NOTE: on
-    the remote-relay TPU this is dominated by per-call dispatch latency
-    (~tens of ms/window), not chip compute."""
+    """Warm single-stream streaming-session performance on the aishell
+    config, two regimes:
+
+    * **throughput** (the headline RTF) — the whole waveform is available
+      (file decoding / faster-than-realtime source): the session stacks all
+      ready ~1 s windows into one scan program, so the relay's per-call
+      dispatch latency (~25-100 ms) amortizes over up to 16 windows/call;
+    * **cadence latency** — audio fed in ~1-window steps (mic regime): one
+      device call per window; reports ms per window (window hop is ~0.97 s
+      of audio, so RTF_cadence = 970 / latency_ms).
+    """
     import numpy as np
     from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.streaming.session import (
@@ -141,17 +194,25 @@ def bench_streaming_rtf(seconds=30):
     cfg = StreamingConfig(left_context=10, right_context=2, n_layer=4,
                           feature_dim=128)
     session = StreamingSession(model, variables, cfg)
-    rs = __import__("numpy").random.RandomState(0)
+    rs = np.random.RandomState(0)
     wav = (rs.randn(16000 * seconds) * 3000).astype("int16")
-    # warm-up pass (compiles), then timed pass
+    # throughput: warm-up pass (compiles), then timed pass
     for _ in range(2):
         session.reset()
         t0 = time.perf_counter()
-        for i in range(0, len(wav), 1600):
-            session.accept_waveform(wav[i:i + 1600])
+        session.accept_waveform(wav)
         session.finalize()
         dt = time.perf_counter() - t0
-    return seconds / dt
+    # cadence: one audio window per accept_waveform call (warm already)
+    session.reset()
+    t0 = time.perf_counter()
+    n_win = 0
+    for i in range(0, len(wav), cfg.audio_step):
+        session.accept_waveform(wav[i:i + cfg.audio_step])
+        n_win += 1
+    session.finalize()
+    lat_ms = (time.perf_counter() - t0) / n_win * 1e3
+    return seconds / dt, lat_ms
 
 
 def bench_banded_attention(t=2048, b=4, h=8, dh=64, n_apply=50):
@@ -200,13 +261,24 @@ def main():
     backend = jax.default_backend()
     rtf = bench_offline_rtf()
     step_ms = bench_train_step()
+    step_ms32 = bench_train_step(batch=32)
     loss_ms = bench_rnnt_loss()
-    stream_rtf = bench_streaming_rtf()
+    enc_mfu = bench_encode_mfu()
+    stream_rtf, stream_lat_ms = bench_streaming_rtf()
     dense_ms, banded_ms = bench_banded_attention()
+    # MFU: standard convention — required model FLOPs (3x analytic forward;
+    # remat recompute not credited) over measured time vs bf16 chip peak
+    def train_mfu(b, ms):
+        return 3 * transducer_flops(b, 410, 43, 4334) / (ms / 1e3) / PEAK_FLOPS
     print(json.dumps({
         "train_step_ms_aishell_b4": round(step_ms, 2),
+        "train_step_ms_aishell_b32": round(step_ms32, 2),
+        "mfu_train_step_b4": round(train_mfu(4, step_ms), 4),
+        "mfu_train_step_b32": round(train_mfu(32, step_ms32), 4),
+        "mfu_offline_encode_b16": round(enc_mfu, 4),
         "rnnt_loss_fwdbwd_ms_b4_t410_u42": round(loss_ms, 2),
         "streaming_session_x_realtime_warm": round(stream_rtf, 2),
+        "streaming_cadence_ms_per_window": round(stream_lat_ms, 2),
         "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),
                                  "pallas": round(banded_ms, 3)},
         "backend": backend,

@@ -137,12 +137,27 @@ class StreamingSession:
         self._emitted_any = jnp.zeros((1,), dtype=jnp.int32)
         self._dec_state = None
 
+    # window-count buckets for the stacked multi-window program: one compile
+    # per bucket, padded windows are no-ops (n_eff = 0 gates every effect)
+    WINDOW_BUCKETS = (1, 2, 4, 8, 16)
+
     # ------------------------------------------------------------------
     def _build_window_decode(self):
-        """One jitted program per window: greedy-joint every effective frame
-        against the cached label-encoder state, updating the <=40-token ring
-        buffer and blank-run counter on device (one host call per window,
-        not per frame)."""
+        """Jitted programs: greedy-joint every effective frame against the
+        cached label-encoder state, updating the <=40-token ring buffer and
+        blank-run counter on device.
+
+        Two granularities share one window body:
+
+        * single window — the real-time path (one device call per ~1 s
+          audio window as it becomes ready);
+        * K stacked windows — when several windows are ready at once
+          (faster-than-realtime sources, e.g. file decoding), an outer
+          ``lax.scan`` threads the decode state through all of them in ONE
+          device call.  The per-call dispatch latency of the remote relay
+          (~25-100 ms) is the streaming throughput bottleneck, not FLOPs,
+          so call count is what this design minimizes.
+        """
         cfg = self.cfg
         cap = cfg.label_history + 1  # blank seed + history
         mask = look_ahead_mask(cap)
@@ -160,12 +175,8 @@ class StreamingSession:
 
         is_espnet = self._is_espnet()
 
-        @jax.jit
-        def window_decode(window, left_frame, n_eff, buf, count, dec_state,
-                          blank_run, emitted_any):
-            """Fused per-window program: banded encode + greedy joint scan —
-            ONE device call per window (the per-call dispatch latency is the
-            streaming bottleneck, not the FLOPs)."""
+        def window_body(state, window, left_frame, n_eff):
+            """Banded encode + greedy joint scan over one padded window."""
             if is_espnet:
                 # espnet encoder bands internally (model.mask config); its
                 # rel-pos encoding is shift-invariant, so no table pinning
@@ -209,13 +220,29 @@ class StreamingSession:
                 return ((new_buf, new_count, new_dec, new_blank, new_emitted),
                         (out_tok, split))
 
+            return jax.lax.scan(step, state, jnp.arange(e_max))
+
+        @jax.jit
+        def window_decode_many(windows, left_frames, n_effs, buf, count,
+                               dec_state, blank_run, emitted_any):
+            """K stacked windows threaded sequentially through the decode
+            state — identical math to K single-window calls, one dispatch.
+            Returns outputs packed as one int32 array (single host
+            transfer): ``out[0] = tokens``, ``out[1] = splits``."""
+            def outer(state, xs):
+                window, lf, ne = xs
+                state, outs = window_body(state, window, lf, ne)
+                return state, outs
+
             (buf, count, dec_state, blank_run, emitted_any), (toks, splits) = \
-                jax.lax.scan(step, (buf, count, dec_state, blank_run,
-                                    emitted_any), jnp.arange(e_max))
-            return buf, count, dec_state, blank_run, emitted_any, toks, splits
+                jax.lax.scan(outer, (buf, count, dec_state, blank_run,
+                                     emitted_any),
+                             (windows, left_frames, n_effs))
+            out = jnp.stack([toks, splits.astype(jnp.int32)])
+            return buf, count, dec_state, blank_run, emitted_any, out
 
         self._predict_last = jax.jit(predict_last)
-        return window_decode
+        return window_decode_many
 
     def _is_espnet(self) -> bool:
         params = self.variables.get("params", self.variables)
@@ -241,29 +268,28 @@ class StreamingSession:
         any complete audio windows."""
         assert not self._finished, "session finished; call reset()"
         self.audio = np.concatenate([self.audio, samples.astype(np.int16)])
-        emitted = []
+        # ingest features for EVERY complete audio window first (pure host
+        # numpy), THEN decode: when audio arrives faster than real time,
+        # all ready windows stack into one device program
         while (self.win_audio_position + self.cfg.win_audio) <= len(self.audio):
             win = self.audio[self.win_audio_position:
                              self.win_audio_position + self.cfg.win_audio]
-            emitted += self._process_audio_window(win, last_clip=False)
+            self._ingest_audio_window(win, last_clip=False)
             self.win_audio_position += self.cfg.audio_step
-        return emitted
+        return self._process_feature_windows(last_clip=False)
 
     def finalize(self) -> List[int]:
         """Flush the remaining audio (the reference's ``last_clip`` path)."""
         assert not self._finished
         self._finished = True
         tail = self.audio[self.win_audio_position:]
-        emitted = []
         if len(tail) >= 512:  # >= one FFT window of audio
-            emitted += self._process_audio_window(tail, last_clip=True)
-        else:
-            emitted += self._process_feature_windows(last_clip=True)
-        return emitted
+            self._ingest_audio_window(tail, last_clip=True)
+        return self._process_feature_windows(last_clip=True)
 
     # ------------------------------------------------------------------
-    def _process_audio_window(self, win_audio: np.ndarray,
-                              last_clip: bool) -> List[int]:
+    def _ingest_audio_window(self, win_audio: np.ndarray,
+                             last_clip: bool) -> None:
         cfg = self.cfg
         # 1. feature smoothing: drop the 3 frames whose audio is incomplete
         feats = F.logmel_masked(win_audio, cfg.sample_rate, cfg.feature_dim)
@@ -271,7 +297,7 @@ class StreamingSession:
             feats = feats[:-3]
         n_new = feats.shape[0]
         if n_new <= 0:
-            return []
+            return
         self.log_mel = np.concatenate([self.log_mel, feats])
 
         # 2. stack smoothing: borrow `stack_left` history frames
@@ -287,11 +313,13 @@ class StreamingSession:
         off = (-before) % cfg.subsample
         new_sub = self.concat[before + off::cfg.subsample]
         self.subsampled = np.concatenate([self.subsampled, new_sub])
-        return self._process_feature_windows(last_clip)
 
     def _process_feature_windows(self, last_clip: bool) -> List[int]:
         cfg = self.cfg
-        emitted = []
+        # gather ALL ready windows first (their geometry is pure host-side
+        # shape arithmetic), then decode them in as few device calls as the
+        # bucket table allows
+        ready = []
         while True:
             total = self.subsampled.shape[0]
             future = total - self.win_feature_position
@@ -306,26 +334,48 @@ class StreamingSession:
             n_eff = window.shape[0] - left_frame - right_frame
             if n_eff <= 0:
                 break
-            emitted += self._decode_window(window, left_frame, n_eff)
+            ready.append((window, left_frame, n_eff))
             self.win_feature_position += n_eff
-        return emitted
+        return self._decode_windows(ready)
 
     def _decode_window(self, window: np.ndarray, left_frame: int,
                        n_eff: int) -> List[int]:
+        return self._decode_windows([(window, left_frame, n_eff)])
+
+    def _decode_windows(self, ready) -> List[int]:
+        """Decode a list of ``(window, left_frame, n_eff)`` tuples in
+        ceil(len/16) device calls: each group is padded up to the next
+        window-count bucket and run through the stacked-scan program."""
         cfg = self.cfg
+        if not ready:
+            return []
         if self._dec_state is None:
             self._dec_state = self._predict_last(self._buf, self._count)
         length = cfg.window_len
-        assert window.shape[0] <= length
-        padded = np.zeros((length, window.shape[1]), np.float32)
-        padded[:window.shape[0]] = window
-        (self._buf, self._count, self._dec_state, self._blank_run,
-         self._emitted_any, toks, splits) = self._window_decode(
-            jnp.asarray(padded), jnp.asarray(left_frame, dtype=jnp.int32),
-            jnp.asarray(n_eff, dtype=jnp.int32), self._buf,
-            self._count, self._dec_state, self._blank_run, self._emitted_any)
-        toks = np.asarray(toks)[:n_eff]
-        splits = np.asarray(splits)[:n_eff]
+        max_bucket = self.WINDOW_BUCKETS[-1]
+        emitted = []
+        for base in range(0, len(ready), max_bucket):
+            group = ready[base:base + max_bucket]
+            k = next(b for b in self.WINDOW_BUCKETS if b >= len(group))
+            windows = np.zeros((k, length, self._d), np.float32)
+            left_frames = np.zeros((k,), np.int32)
+            n_effs = np.zeros((k,), np.int32)  # padded rows: n_eff=0 no-ops
+            for j, (window, left_frame, n_eff) in enumerate(group):
+                assert window.shape[0] <= length
+                windows[j, :window.shape[0]] = window
+                left_frames[j] = left_frame
+                n_effs[j] = n_eff
+            (self._buf, self._count, self._dec_state, self._blank_run,
+             self._emitted_any, out) = self._window_decode(
+                jnp.asarray(windows), jnp.asarray(left_frames),
+                jnp.asarray(n_effs), self._buf, self._count,
+                self._dec_state, self._blank_run, self._emitted_any)
+            out = np.asarray(out)  # ONE host transfer per device call
+            for j, (_, _, n_eff) in enumerate(group):
+                emitted += self._emit(out[0, j, :n_eff], out[1, j, :n_eff])
+        return emitted
+
+    def _emit(self, toks: np.ndarray, splits: np.ndarray) -> List[int]:
         emitted = []
         for tok, split in zip(toks, splits):
             if tok == 0:
