@@ -39,6 +39,48 @@ def test_kaldi_ark_scp_roundtrip(tmp_path):
         np.testing.assert_array_equal(via_ark[k], m)
 
 
+def test_kaldi_compressed_matrix_roundtrip(tmp_path):
+    """'CM ' format 1 (reference tt/kaldi_io.py:470-518): lossy uint8
+    round-trip; error bounded by the per-segment quantization step."""
+    rng = np.random.RandomState(2)
+    m = (rng.randn(64, 13) * 4.0 + 1.5).astype(np.float32)
+    p = tmp_path / "c.mat"
+    off = kaldiio.write_mat_compressed(str(p), m)
+    assert off == 0
+    got = kaldiio.read_mat(str(p))
+    assert got.shape == m.shape and got.dtype == np.float32
+    # worst segment has 63 steps over <= the global range
+    grange = float(m.max() - m.min())
+    assert np.abs(got - m).max() <= grange / 63.0 + 1e-4
+    # interior (p25..p75) values get 128 steps over the IQR — much tighter
+    q25, q75 = np.percentile(m, [30, 70])
+    sel = (m > q25) & (m < q75)
+    assert np.abs(got[sel] - m[sel]).max() <= (q75 - q25) / 32.0
+
+
+def test_kaldi_compressed_in_ark_with_offset(tmp_path):
+    """CM blobs behind key + path:offset plumbing (the shape CMVN stats
+    from real Kaldi tooling arrive in)."""
+    rng = np.random.RandomState(3)
+    m = rng.rand(20, 7).astype(np.float32) * 10.0
+    ark = str(tmp_path / "c.ark")
+    with open(ark, "wb") as fh:
+        fh.write(b"spk1 ")
+        off = kaldiio.write_mat_compressed(fh, m)
+    got = kaldiio.read_mat(f"{ark}:{off}")
+    assert np.abs(got - m).max() < 10.0 / 63.0 + 1e-4
+    (key, via_ark), = list(kaldiio.read_mat_ark(ark))
+    assert key == "spk1"
+    np.testing.assert_array_equal(via_ark, got)
+
+
+def test_kaldi_cm2_cm3_rejected(tmp_path):
+    p = tmp_path / "c2.mat"
+    p.write_bytes(b"\x00BCM2 " + b"\x00" * 16)
+    with pytest.raises(ValueError, match="CM2"):
+        kaldiio.read_mat(str(p))
+
+
 def test_kaldi_text_matrix(tmp_path):
     p = tmp_path / "t.mat"
     p.write_text(" [\n 1.0 2.0\n 3.0 4.5 ]\n")

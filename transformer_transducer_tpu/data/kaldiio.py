@@ -57,6 +57,12 @@ def _read_mat_stream(fh) -> np.ndarray:
     binary = fh.read(2)
     if binary == b"\x00B":
         token = _read_token(fh)
+        if token == "CM":
+            return _read_compressed(fh)
+        if token in ("CM2", "CM3"):
+            raise ValueError(f"kaldi compression format {token!r} "
+                             "(per-element uint16/uint8 without column "
+                             "headers) is not supported")
         if token in ("FM", "DM"):
             dtype = np.float32 if token == "FM" else np.float64
             rows = _read_int32(fh)
@@ -74,6 +80,90 @@ def _read_mat_stream(fh) -> np.ndarray:
     body = rest[rest.index("[") + 1:rest.index("]")]
     rows = [r.split() for r in body.strip().splitlines() if r.strip()]
     return np.asarray([[float(v) for v in r] for r in rows], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Compressed matrices ('CM ' — Kaldi CompressedMatrix format 1, the format
+# real-world `compute-cmvn-stats` / feature archives commonly use; reference
+# reader: tt/kaldi_io.py:470-518).  Layout after the 'CM ' token:
+#   global header:  min f32, range f32, num_rows i32, num_cols i32
+#   per column:     4x uint16 quantized percentiles (p0, p25, p75, p100)
+#   data:           num_cols * num_rows uint8, column-major
+# A uint16 percentile q dequantizes to  min + range * q / 65535.  A uint8
+# value c within a column decodes piecewise-linearly between the percentiles:
+#   c <= 64:        p0  + (p25 - p0)   * c / 64
+#   64 < c <= 192:  p25 + (p75 - p25)  * (c - 64) / 128
+#   c > 192:        p75 + (p100 - p75) * (c - 192) / 63
+
+_CM_GLOBAL = np.dtype([("min", "<f4"), ("range", "<f4"),
+                       ("rows", "<i4"), ("cols", "<i4")])
+
+
+def _read_compressed(fh) -> np.ndarray:
+    gmin, grange, rows, cols = np.frombuffer(fh.read(16), _CM_GLOBAL, 1)[0]
+    heads = np.frombuffer(fh.read(int(cols) * 8), "<u2").reshape(cols, 4)
+    heads = gmin + grange * heads.astype(np.float64) / 65535.0
+    data = np.frombuffer(fh.read(int(cols) * int(rows)), np.uint8)
+    data = data.reshape(cols, rows).astype(np.float32)
+    p0, p25, p75, p100 = (heads[:, i:i + 1].astype(np.float32)
+                          for i in range(4))
+    lo = p0 + (p25 - p0) * (data / 64.0)
+    mid = p25 + (p75 - p25) * ((data - 64.0) / 128.0)
+    hi = p75 + (p100 - p75) * ((data - 192.0) / 63.0)
+    mat = np.where(data <= 64, lo, np.where(data <= 192, mid, hi))
+    return np.ascontiguousarray(mat.T)  # column-major -> row-major
+
+
+def write_mat_compressed(path_or_fh, mat: np.ndarray, key: str = "") -> int:
+    """Write a matrix in the 'CM ' format (lossy: uint8 per element).
+
+    Percentile choice follows Kaldi's CompressedMatrix: per column the
+    quantized smallest / rank-``rows/4`` / rank-``3*rows/4`` / largest
+    values; elements then encode to the piecewise-linear uint8 code with
+    round-to-nearest.  Mainly used to synthesize test fixtures and to
+    emit compact feature archives.
+    """
+    own = isinstance(path_or_fh, str)
+    fh = open(path_or_fh, "wb") if own else path_or_fh
+    try:
+        if key:
+            fh.write(key.encode() + b" ")
+        offset = fh.tell()
+        mat = np.asarray(mat, dtype=np.float32)
+        rows, cols = mat.shape
+        gmin = float(mat.min())
+        grange = float(mat.max()) - gmin or 1.0
+        fh.write(b"\x00BCM ")
+        fh.write(np.array([(gmin, grange, rows, cols)],
+                          dtype=_CM_GLOBAL).tobytes())
+
+        def quantize(v):
+            return np.clip(np.floor((v - gmin) / grange * 65535.0),
+                           0, 65535).astype("<u2")
+
+        srt = np.sort(mat, axis=0)  # per-column ranks
+        q = np.stack([quantize(srt[0]), quantize(srt[rows // 4]),
+                      quantize(srt[(3 * rows) // 4]),
+                      quantize(srt[-1])])           # (4, cols) uint16
+        fh.write(np.ascontiguousarray(q.T).tobytes())
+
+        p = gmin + grange * q.astype(np.float64) / 65535.0  # dequantized
+        p0, p25, p75, p100 = (p[i][None, :] for i in range(4))
+        codes = np.empty((rows, cols), np.uint8)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lo = np.clip((mat - p0) / np.maximum(p25 - p0, 1e-30) * 64.0,
+                         0, 64)
+            mid = 64.0 + np.clip(
+                (mat - p25) / np.maximum(p75 - p25, 1e-30) * 128.0, 0, 128)
+            hi = 192.0 + np.clip(
+                (mat - p75) / np.maximum(p100 - p75, 1e-30) * 63.0, 0, 63)
+        codes = np.where(mat <= p25, lo, np.where(mat <= p75, mid, hi))
+        codes = (codes + 0.5).astype(np.uint8)  # round-to-nearest
+        fh.write(np.ascontiguousarray(codes.T).tobytes())
+        return offset
+    finally:
+        if own:
+            fh.close()
 
 
 def write_mat(path_or_fh, mat: np.ndarray, key: str = "") -> int:
