@@ -31,7 +31,8 @@ def dense_oracle(q, k, v, re, u, rb, left, right):
 
 @pytest.mark.parametrize("t,left,right", [(64, 10, 2), (200, 10, 2),
                                           (410, 10, 2), (128, 7, 0),
-                                          (300, 33, 5)])
+                                          (300, 33, 5), (40, 4, 2),
+                                          (32, 10, 5)])
 def test_banded_kernel_matches_dense(t, left, right):
     rng = np.random.RandomState(t + left)
     b, h, dh = 2, 2, 64
@@ -76,3 +77,83 @@ def test_model_encode_banded_matches_masked():
     ref = model.apply(variables, x, context_mask(150, 10, 2), method="encode")
     got = model.apply(variables, x, 10, 2, method="encode_banded")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)
+
+
+@pytest.mark.parametrize("t,left,right", [(64, 10, 2), (200, 10, 2),
+                                          (128, 7, 0)])
+def test_banded_kernel_grads_match_autodiff(t, left, right):
+    """Custom VJP (incl. position-table grads) vs autodiff of the dense
+    oracle."""
+    rng = np.random.RandomState(100 + t)
+    b, h, dh = 2, 2, 64
+    args = (jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32) * 0.3),
+            jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32) * 0.3),
+            jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32)),
+            jnp.asarray(rng.randn(t, h, dh).astype(np.float32) * 0.3),
+            jnp.asarray(rng.randn(h, dh).astype(np.float32) * 0.3),
+            jnp.asarray(rng.randn(t, h).astype(np.float32) * 0.3))
+    g = jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32))
+
+    def loss_ref(*a):
+        return jnp.sum(dense_oracle(*a, left, right) * g)
+
+    def loss_ker(*a):
+        return jnp.sum(banded_attention(*a, left, right,
+                                        interpret=INTERPRET) * g)
+
+    refs = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    gots = jax.grad(loss_ker, argnums=tuple(range(6)))(*args)
+    names = ["dq", "dk", "dv", "d_r_emb", "d_r_w_bias", "d_r_bias"]
+    gtol = (dict(rtol=2e-3, atol=2e-3) if INTERPRET
+            else dict(rtol=2e-2, atol=2e-2))
+    for name, ref, got in zip(names, refs, gots):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   err_msg=name, **gtol)
+
+
+def test_banded_training_matches_dense_masked_loss():
+    """Full train-style fwd+bwd through a banded Transducer equals the
+    dense context_mask path: same loss, same parameter gradients."""
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.ops.rnnt_loss import (
+        joint_params_from_variables, rnnt_loss_fused)
+
+    rng = np.random.RandomState(7)
+    b, t, u, v, d = 2, 40, 5, 24, 64
+    left, right = 4, 2
+    kw = dict(vocab_size=v, enc=(2, t, 1, d, 64, 32), dec=(1, u + 1, 1, d, 64, 32),
+              joint_inner=16)
+    banded_model = Transducer(band=(left, right), **kw)
+    dense_model = Transducer(**kw)
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32) * 0.3)
+    y = jnp.asarray(rng.randint(1, v, (b, u)))
+    t_len = jnp.asarray([t, t - 7])
+    u_len = jnp.asarray([u, u - 2])
+    params = banded_model.init(jax.random.PRNGKey(0), x, y)["params"]
+
+    def loss_banded(p):
+        enc, dec = banded_model.apply({"params": p}, x, y,
+                                      method="encode_both")
+        return rnnt_loss_fused(enc, dec, joint_params_from_variables(p),
+                               y, t_len, u_len, chunk_size=8).mean()
+
+    def loss_dense(p):
+        enc = dense_model.apply({"params": p}, x,
+                                context_mask(t, left, right), method="encode")
+        dec = dense_model.apply(
+            {"params": p}, jnp.pad(y, ((0, 0), (1, 0))),
+            __import__("transformer_transducer_tpu.ops.masks",
+                       fromlist=["look_ahead_mask"]).look_ahead_mask(u + 1),
+            method="predict")
+        return rnnt_loss_fused(enc, dec, joint_params_from_variables(p),
+                               y, t_len, u_len, chunk_size=8).mean()
+
+    lb, gb = jax.value_and_grad(loss_banded)(params)
+    ld, gd = jax.value_and_grad(loss_dense)(params)
+    np.testing.assert_allclose(float(lb), float(ld), rtol=1e-4)
+    flat_b = jax.tree_util.tree_leaves_with_path(gb)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(gd))
+    for path, leaf in flat_b:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_d[path]),
+            rtol=3e-3, atol=3e-3, err_msg=jax.tree_util.keystr(path))

@@ -30,6 +30,10 @@ def main():
                         help="rematerialize encoder layers in backward")
     parser.add_argument("--flash", action="store_true",
                         help="flash Pallas kernel for unmasked encoder attention")
+    parser.add_argument("--banded", action="store_true",
+                        help="train the encoder under the streaming band "
+                        "(enc.left_context/right_context) via the Pallas "
+                        "banded kernel (fwd+bwd)")
     parser.add_argument("--augment", action="store_true",
                         help="enable waveform augmentation chain")
     parser.add_argument("--epochs", type=int, default=None)
@@ -53,7 +57,7 @@ def main():
     trainer = Trainer(cfg, mode=args.mode, log_file=args.log,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                       n_data=args.n_data, n_model=args.n_model,
-                      remat=args.remat, flash=args.flash)
+                      remat=args.remat, flash=args.flash, banded=args.banded)
     trainer.logger.info("JAX backend: %s, devices: %s", jax.default_backend(),
                         jax.devices())
     trainer.fit(epochs=args.epochs, augment=args.augment)

@@ -120,20 +120,7 @@ def _band_kernel(left_ref, right_ref, t_true_ref, shift_ref, q_ref, k_ref,
     o_ref[0, :, :] = out
 
 
-@functools.partial(jax.jit, static_argnames=("left", "right", "interpret"))
-def banded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                     r_emb: jax.Array, r_w_bias: jax.Array, r_bias: jax.Array,
-                     left: int, right: int,
-                     interpret: bool = False) -> jax.Array:
-    """Banded rel-attention.
-
-    Args:
-      q, k, v: (B, T, H, Dh) post-projection heads.
-      r_emb: (T, H, Dh), r_w_bias: (H, Dh), r_bias: (T, H) — tables already
-        sliced/front-padded to klen == T (``models.attention._slice_pos_table``).
-      left, right: band widths (0 <= left, right <= 64).
-    Returns: (B, T, H, Dh) attention output (pre out-projection).
-    """
+def _fwd_impl(q, k, v, r_emb, r_w_bias, r_bias, left, right, interpret):
     assert 0 <= left <= HALO and 0 <= right <= HALO
     b, t, h, dh = q.shape
     t_pad = -(-t // TQ) * TQ
@@ -145,17 +132,18 @@ def banded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     qf = fold(q)
     kf = fold(k, front=HALO, back=HALO)
     vf = fold(v, front=HALO, back=HALO)
-    # fold r_bias into r_emb as a trailing feature column (see kernel note)
-    re_aug = jnp.concatenate([r_emb, r_bias[:, :, None]], axis=-1)
-    re = jnp.pad(re_aug, ((0, t_pad - t), (0, 0), (0, 0))) \
-        .transpose(1, 0, 2).astype(jnp.float32)              # (H, Tp, Dh+1)
-    u = r_w_bias[:, None, :].astype(jnp.float32)              # (H, 1, Dh)
-
-    # The score formula anchors table rows at klen-1 (the TRUE last row).
-    # Roll right so padded row t_pad-1+o holds true row t-1+o; true row 0
-    # then sits at padded row `shift` (the kernel's wrap-row base).
+    # fold r_bias into r_emb as a trailing feature column (see kernel note).
+    # The score formula anchors table rows at klen-1 (the TRUE last row):
+    # lay the table out so padded row t_pad-1+o holds true row t-1+o, i.e.
+    # true row 0 sits at padded row `shift` (the kernel's wrap-row base).
+    # Front-pad by `shift` and back-pad by HALO — the extra HALO tail keeps
+    # the kernel's fixed (shift, HALO) wrap-slice in bounds when t < HALO
+    # (a circular roll used to clamp that read and corrupt o>=2 scores).
     shift = t_pad - t
-    re = jnp.roll(re, shift, axis=1)
+    re_aug = jnp.concatenate([r_emb, r_bias[:, :, None]], axis=-1)
+    re = jnp.pad(re_aug, ((shift, HALO), (0, 0), (0, 0))) \
+        .transpose(1, 0, 2).astype(jnp.float32)           # (H, Tp+HALO, Dh+1)
+    u = r_w_bias[:, None, :].astype(jnp.float32)              # (H, 1, Dh)
 
     t_kv = t_pad + 2 * HALO
     grid = (b * h, t_pad // TQ)
@@ -175,7 +163,7 @@ def banded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_kv, dh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dh + 1), head_idx,
+            pl.BlockSpec((1, t_pad + HALO, dh + 1), head_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, dh), lambda i, j: (i % h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -189,3 +177,224 @@ def banded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     out = out.reshape(b, h, t_pad, dh).transpose(0, 2, 1, 3)[:, :t]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Backward: same banded-window structure, scores rematerialized blockwise
+# (flash-attention style), with gradients for q/k/v AND the learnable
+# position tables (r_emb, r_w_bias, r_bias — the latter riding the augmented
+# feature column exactly as in the forward).  The grid is (H, B, n_qblocks)
+# so the shared d_re / d_u accumulators are revisited on CONSECUTIVE grid
+# steps only (a Pallas output-revisit requirement); the forward keeps its
+# (B*H, n) grid since it accumulates nothing across blocks.
+
+
+def _unskew(x):
+    """Inverse of the forward's per-row right-roll-by-i skew: roll each row
+    LEFT by its row index (same log2 conditional trick)."""
+    w = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    for bit in range(TQ.bit_length() - 1):
+        amt = 1 << bit
+        rolled = pltpu.roll(x, w - amt, axis=1)
+        x = jnp.where((row & amt) != 0, rolled, x)
+    return x
+
+
+def _band_bwd_kernel(left_ref, right_ref, t_true_ref, shift_ref, q_ref,
+                     k_ref, v_ref, re_ref, u_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dre_ref, du_ref):
+    b_idx = pl.program_id(1)
+    qb = pl.program_id(2)
+    t_pad = q_ref.shape[2]
+    dh = q_ref.shape[3]
+    left, right = left_ref[0], right_ref[0]
+    t_true, shift = t_true_ref[0], shift_ref[0]
+
+    qs = qb * TQ
+    q = q_ref[0, 0, pl.ds(qs, TQ), :]
+    nxt = pl.multiple_of(jnp.minimum(qs + TQ, t_pad - TQ), TQ)
+    q_extra = q_ref[0, 0, pl.ds(nxt, TQ), :][0:1]
+    q_next = jnp.concatenate([q[1:], q_extra], axis=0)
+    k_win = k_ref[0, 0, pl.ds(qs, WIN), :]
+    v_win = v_ref[0, 0, pl.ds(qs, WIN), :]
+    u = u_ref[0]
+    do = do_ref[0, 0, pl.ds(qs, TQ), :]
+
+    # ---- recompute forward scores/probs (identical math to _band_kernel)
+    ac = jax.lax.dot_general((q + u), k_win, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TQ, WIN), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TQ, WIN), 1)
+    j_abs = qs - HALO + col
+    o = col - HALO - row
+
+    ones = jnp.ones((TQ, 1), jnp.float32)
+    q_aug = jnp.concatenate([q, ones], axis=1)
+    qn_aug = jnp.concatenate([q_next, ones], axis=1)
+    re_tail = re_ref[0, pl.ds(t_pad - 1 - HALO, HALO + 1), :]
+    p_past = jax.lax.dot_general(q_aug, re_tail, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    re_head = re_ref[0, pl.ds(shift, HALO), :]
+    p_wrap = jax.lax.dot_general(qn_aug, re_head, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    c_width = 2 * HALO + 1
+    g = jnp.concatenate([p_past, jnp.zeros((TQ, 1), jnp.float32),
+                         p_wrap[:, :HALO - 1]], axis=1)
+    bd = jnp.concatenate(
+        [g, jnp.zeros((TQ, WIN - c_width), jnp.float32)], axis=1)
+    for bit in range(TQ.bit_length() - 1):
+        amt = 1 << bit
+        rolled = pltpu.roll(bd, amt, axis=1)
+        bd = jnp.where((row & amt) != 0, rolled, bd)
+
+    scale = 1.0 / np.sqrt(dh)
+    scores = (ac + bd) * scale
+    in_band = (o >= -left) & (o <= right) & (j_abs >= 0) & (j_abs < t_true)
+    scores = jnp.where(in_band, scores, NEG)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=1, keepdims=True)
+    probs = e / s
+
+    # ---- accumulator init (outputs are revisited across grid steps)
+    @pl.when(qb == 0)
+    def _init_bh():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    @pl.when((b_idx == 0) & (qb == 0))
+    def _init_h():
+        dre_ref[0] = jnp.zeros_like(dre_ref[0])
+        du_ref[0] = jnp.zeros_like(du_ref[0])
+
+    # ---- softmax backward
+    dp = jax.lax.dot_general(do, v_win, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (TQ, WIN)
+    d_i = jnp.sum(probs * dp, axis=1, keepdims=True)
+    ds = probs * (dp - d_i) * scale
+    ds = jnp.where(in_band, ds, 0.0)
+
+    # ---- value / key / content-query grads
+    dv_ref[0, 0, pl.ds(qs, WIN), :] += jax.lax.dot_general(
+        probs, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_ref[0, 0, pl.ds(qs, WIN), :] += jax.lax.dot_general(
+        ds, q + u, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ac = jax.lax.dot_general(ds, k_win, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    du_ref[0] += jnp.sum(dq_ac, axis=0, keepdims=True)
+
+    # ---- BD-path grads: un-skew ds back to band-matrix coordinates
+    dg = _unskew(ds)[:, :c_width]                       # (TQ, 129)
+    dp_past = dg[:, :HALO + 1]                          # o in [-64, 0]
+    dp_wrap = jnp.concatenate(
+        [dg[:, HALO + 2:], jnp.zeros((TQ, 1), jnp.float32)], axis=1)  # (TQ,64)
+
+    dre_ref[0, pl.ds(t_pad - 1 - HALO, HALO + 1), :] += jax.lax.dot_general(
+        dp_past, q_aug, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dre_ref[0, pl.ds(shift, HALO), :] += jax.lax.dot_general(
+        dp_wrap, qn_aug, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dq_aug = jax.lax.dot_general(dp_past, re_tail, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dqn_aug = jax.lax.dot_general(dp_wrap, re_head, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dq_ref[0, 0, pl.ds(qs, TQ), :] += dq_ac + dq_aug[:, :dh]
+    # q_next rows are q rows shifted by one; the +TQ-padded dq buffer
+    # absorbs the final block's boundary row
+    dq_ref[0, 0, pl.ds(qs + 1, TQ), :] += dqn_aug[:, :dh]
+
+
+def _bwd_impl(q, k, v, r_emb, r_w_bias, r_bias, left, right, interpret, g):
+    b, t, h, dh = q.shape
+    t_pad = -(-t // TQ) * TQ
+    t_kv = t_pad + 2 * HALO
+    aug = dh + 1
+
+    def fold(x, front=0, back=0):
+        x = jnp.pad(x.astype(jnp.float32),
+                    ((0, 0), (front, t_pad - t + back), (0, 0), (0, 0)))
+        return x.transpose(2, 0, 1, 3)                    # (H, B, Tp', Dh)
+
+    qf, gf = fold(q), fold(g)
+    kf = fold(k, front=HALO, back=HALO)
+    vf = fold(v, front=HALO, back=HALO)
+    # table layout: see the forward wrapper (front-pad `shift`, back-pad HALO)
+    shift = t_pad - t
+    re_aug = jnp.concatenate([r_emb, r_bias[:, :, None]], axis=-1)
+    re = jnp.pad(re_aug.astype(jnp.float32),
+                 ((shift, HALO), (0, 0), (0, 0))).transpose(1, 0, 2)
+    u = r_w_bias.astype(jnp.float32)[:, None, :]          # (H, 1, Dh)
+
+    qspec = pl.BlockSpec((1, 1, t_pad, dh), lambda i, j, n: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, t_kv, dh), lambda i, j, n: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    respec = pl.BlockSpec((1, t_pad + HALO, aug), lambda i, j, n: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    uspec = pl.BlockSpec((1, 1, dh), lambda i, j, n: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dqspec = pl.BlockSpec((1, 1, t_pad + TQ, dh), lambda i, j, n: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    dq, dk, dv, dre, du = pl.pallas_call(
+        _band_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, b, t_pad + TQ, dh), jnp.float32),
+            jax.ShapeDtypeStruct((h, b, t_kv, dh), jnp.float32),
+            jax.ShapeDtypeStruct((h, b, t_kv, dh), jnp.float32),
+            jax.ShapeDtypeStruct((h, t_pad + HALO, aug), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, dh), jnp.float32),
+        ),
+        grid=(h, b, t_pad // TQ),
+        in_specs=[smem, smem, smem, smem,
+                  qspec, kvspec, kvspec, respec, uspec, qspec],
+        out_specs=(dqspec, kvspec, kvspec, respec, uspec),
+        interpret=interpret,
+    )(jnp.asarray([left], jnp.int32), jnp.asarray([right], jnp.int32),
+      jnp.asarray([t], jnp.int32), jnp.asarray([shift], jnp.int32),
+      qf, kf, vf, re, u, gf)
+
+    dq = dq.transpose(1, 2, 0, 3)[:, :t]
+    dk = dk.transpose(1, 2, 0, 3)[:, HALO:HALO + t]
+    dv = dv.transpose(1, 2, 0, 3)[:, HALO:HALO + t]
+    dre = dre[:, shift:shift + t].transpose(1, 0, 2)      # true table rows
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dre[..., :dh].astype(r_emb.dtype),
+            du[:, 0, :].astype(r_w_bias.dtype),
+            dre[..., dh].astype(r_bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def banded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     r_emb: jax.Array, r_w_bias: jax.Array, r_bias: jax.Array,
+                     left: int, right: int,
+                     interpret: bool = False) -> jax.Array:
+    """Banded rel-attention (fwd + bwd; trainable).
+
+    Args:
+      q, k, v: (B, T, H, Dh) post-projection heads.
+      r_emb: (T, H, Dh), r_w_bias: (H, Dh), r_bias: (T, H) — tables already
+        sliced/front-padded to klen == T (``models.attention._slice_pos_table``).
+      left, right: band widths (0 <= left, right <= 64).
+    Returns: (B, T, H, Dh) attention output (pre out-projection).
+    """
+    return _fwd_impl(q, k, v, r_emb, r_w_bias, r_bias, left, right, interpret)
+
+
+def _vjp_fwd(q, k, v, r_emb, r_w_bias, r_bias, left, right, interpret):
+    out = _fwd_impl(q, k, v, r_emb, r_w_bias, r_bias, left, right, interpret)
+    return out, (q, k, v, r_emb, r_w_bias, r_bias)
+
+
+def _vjp_bwd(left, right, interpret, res, g):
+    return _bwd_impl(*res, left, right, interpret, g)
+
+
+banded_attention.defvjp(_vjp_fwd, _vjp_bwd)

@@ -43,7 +43,7 @@ class Trainer:
                  log_file: str = "train.log", exp_root: str = "egs",
                  compute_dtype=jnp.float32, n_data: Optional[int] = None,
                  n_model: int = 1, remat: bool = False,
-                 flash: bool = False):
+                 flash: bool = False, banded: bool = False):
         self.config = config
         self.mode = mode
         self.exp_dir = os.path.join(exp_root, config.data.name or "exp",
@@ -69,7 +69,8 @@ class Trainer:
         else:
             self.model = build_transducer(config.model,
                                           compute_dtype=compute_dtype,
-                                          remat=remat, flash=flash)
+                                          remat=remat, flash=flash,
+                                          banded=banded)
         if n_data is None:
             # largest data-axis size that divides the batch (the reference's
             # DataParallel analog requires batch % replicas == 0 too)
