@@ -1,0 +1,136 @@
+"""KV-cached incremental label encoder (espnet family).
+
+The espnet-family text encoder (``models.espnet_variant.
+EspnetTransformerEncoder`` with band left = ``decoder_left_mask``, right = 0)
+is causal, and its RelPos attention scores depend only on the DISTANCE
+``i - j`` (the sinusoidal encodings are rel-indexed, see
+``espnet_variant._rel_shift_signed``), so per-layer K/V caches reproduce the
+full re-encode bit-for-bit — the cached analog of the reference's
+``forward_one_step`` (``espnet2/asr/encoder/transformer_encoder.py:241-283``),
+which the round-1 build replaced with a full static-buffer re-encode
+(VERDICT.md missing #3).
+
+Same contract as ``decoding.label_cache`` (native family): pure functions
+over the flax parameter tree, ``step(params, tokens, cache, update_mask)``.
+Extra argument ``left``: the decoder band width (reference
+``config/espnet_aishell.yaml`` ``decoder_left_mask: 2``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_transducer_tpu.models.espnet_variant import (
+    rel_positional_encoding)
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _layers(dec: Dict):
+    return sorted([k for k in dec if k.startswith("layer_")],
+                  key=lambda s: int(s.split("_")[1]))
+
+
+def init_cache(params: Dict, batch: int, cap: int) -> Dict:
+    """Empty per-layer K/V caches + position counter + the rel-distance
+    position table (precomputed once: row d = sinusoidal encoding of
+    relative distance d, d = 0..cap-1)."""
+    dec = params["decoder"]
+    names = _layers(dec)
+    d_model = dec["after_norm"]["scale"].shape[0]
+    h, dk = dec[names[0]]["self_attn"]["pos_bias_u"].shape
+    # rel_positional_encoding(L, d) row j encodes rel = L-1-j; rows 0..L-1
+    # cover rel = L-1..0 — reverse so row d encodes distance d.
+    pos = rel_positional_encoding(cap, d_model)[:cap][::-1].copy()
+    return {
+        "k": [jnp.zeros((batch, cap, h, dk)) for _ in names],
+        "v": [jnp.zeros((batch, cap, h, dk)) for _ in names],
+        "idx": jnp.zeros((batch,), jnp.int32),
+        "pos": jnp.asarray(pos),                      # (cap, d_model)
+    }
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def step(params: Dict, tokens: jax.Array, cache: Dict,
+         update_mask: jax.Array, left: int = 2,
+         pad_row: Optional[int] = None) -> Tuple[jax.Array, Dict]:
+    """Append ``tokens`` (B,) and return the text encoder's output at the
+    new position (after ``after_norm``).
+
+    ``pad_row``: the zero-frozen embedding row (espnet ``padding_idx=-1`` →
+    row V-1 == sos; quirk preserved — see ``EspnetTransformerEncoder``).
+    ``left``: band width; position i attends to j in [i-left, i].
+    """
+    dec = params["decoder"]
+    names = _layers(dec)
+    b = tokens.shape[0]
+    cap = cache["k"][0].shape[1]
+    idx = cache["idx"]                                       # (B,)
+    d_model = dec["after_norm"]["scale"].shape[0]
+
+    emb_tbl = jnp.asarray(dec["embed"]["embedding"])
+    if pad_row is None:
+        pad_row = emb_tbl.shape[0] - 1
+    x = emb_tbl[tokens] * (tokens != pad_row)[:, None]
+    x = x * math.sqrt(d_model)
+
+    new_cache = dict(cache)
+    new_cache["k"], new_cache["v"] = [], []
+    new_cache["idx"] = idx + update_mask.astype(jnp.int32)
+
+    pos_j = jnp.arange(cap)[None, :]                         # (1, cap)
+    dist = idx[:, None] - pos_j                              # (B, cap)
+    attend = (dist >= 0) & (dist <= left)
+    # position rows by distance (clipped reads are masked anyway)
+    pos_rows = jnp.asarray(cache["pos"])[jnp.clip(dist, 0, cap - 1)]  # (B,cap,D)
+
+    for li, lname in enumerate(names):
+        lp = dec[lname]
+        ap = lp["self_attn"]
+        h, dk = ap["pos_bias_u"].shape
+        y = _layer_norm(x, lp["norm1"]["scale"], lp["norm1"]["bias"])
+        q = (y @ ap["linear_q"]["kernel"] + ap["linear_q"]["bias"]) \
+            .reshape(b, h, dk)
+        k_new = (y @ ap["linear_k"]["kernel"] + ap["linear_k"]["bias"]) \
+            .reshape(b, h, dk)
+        v_new = (y @ ap["linear_v"]["kernel"] + ap["linear_v"]["bias"]) \
+            .reshape(b, h, dk)
+
+        onehot = (pos_j == idx[:, None]).astype(k_new.dtype)  # (B, cap)
+        upd = update_mask[:, None].astype(k_new.dtype)
+        k_cache = cache["k"][li] + (onehot * upd)[:, :, None, None] \
+            * k_new[:, None, :, :]
+        v_cache = cache["v"][li] + (onehot * upd)[:, :, None, None] \
+            * v_new[:, None, :, :]
+        new_cache["k"].append(k_cache)
+        new_cache["v"].append(v_cache)
+
+        p = (pos_rows @ ap["linear_pos"]["kernel"]).reshape(b, cap, h, dk)
+        ac = jnp.einsum("bhd,bjhd->bhj", q + ap["pos_bias_u"], k_cache)
+        bd = jnp.einsum("bhd,bjhd->bhj", q + ap["pos_bias_v"], p)
+        score = (ac + bd) / math.sqrt(dk)
+        score = jnp.where(attend[:, None, :], score, NEG_INF)
+        prob = jax.nn.softmax(score, axis=-1)
+        vec = jnp.einsum("bhj,bjhd->bhd", prob, v_cache).reshape(b, h * dk)
+        att = vec @ ap["linear_out"]["kernel"] + ap["linear_out"]["bias"]
+        x = x + att
+
+        y = _layer_norm(x, lp["norm2"]["scale"], lp["norm2"]["bias"])
+        fp = lp["feed_forward"]
+        y = jax.nn.relu(y @ fp["w_1"]["kernel"] + fp["w_1"]["bias"])
+        y = y @ fp["w_2"]["kernel"] + fp["w_2"]["bias"]
+        x = x + y
+
+    out = _layer_norm(x, dec["after_norm"]["scale"],
+                      dec["after_norm"]["bias"])
+    return out, new_cache

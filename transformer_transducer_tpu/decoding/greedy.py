@@ -55,8 +55,9 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
       t_len: (B,) valid frame counts.
       max_tokens: static token budget (>= 1 + longest expected emission).
       use_cache: KV-cached incremental label encoding (numerics-identical
-        under the causal mask; see ``decoding/label_cache.py``).  Defaults to
-        on for the native family, off otherwise.
+        under the causal mask / causal band; see ``decoding/label_cache.py``
+        and ``decoding/espnet_label_cache.py``).  Defaults to on for both
+        families.
       seed_token: history seed — blank 0 for the native family
         (``tt/model.py:72``), sos == vocab-1 for the espnet family
         (``tt_espnet/model.py:86``).
@@ -67,7 +68,7 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
     b, t_max, _ = enc_states.shape
     label_mask = look_ahead_mask(max_tokens)
     if use_cache is None:
-        use_cache = _is_native_family(variables)
+        use_cache = True
 
     def predict_last(buf: jax.Array, count: jax.Array) -> jax.Array:
         dec = model.apply(variables, buf, label_mask, method="predict")
@@ -88,8 +89,16 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
         return buf, count + valid.astype(count.dtype)
 
     if use_cache:
-        from transformer_transducer_tpu.decoding import label_cache as lc
-        # restored checkpoints hold numpy leaves; label_cache indexes tables
+        if _is_native_family(variables):
+            from transformer_transducer_tpu.decoding import label_cache as lc
+            step_fn = lc.step
+        else:
+            import functools
+            from transformer_transducer_tpu.decoding import (
+                espnet_label_cache as lc)
+            step_fn = functools.partial(
+                lc.step, left=int(getattr(model, "decoder_left_mask", 2)))
+        # restored checkpoints hold numpy leaves; the caches index tables
         # with traced ids, which numpy rejects
         params = jax.tree_util.tree_map(
             jnp.asarray, variables.get("params", variables))
@@ -105,11 +114,11 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
             return (buf, count, dec_state, cache), None
 
         def _cached_advance(pred, valid, dec_state, cache):
-            out, cache = lc.step(params, pred, cache, valid)
+            out, cache = step_fn(params, pred, cache, valid)
             return jnp.where(valid[:, None], out, dec_state), cache
 
         cache0 = lc.init_cache(params, b, max_tokens)
-        dec0, cache0 = lc.step(params,
+        dec0, cache0 = step_fn(params,
                                jnp.full((b,), seed_token, jnp.int32), cache0,
                                jnp.ones((b,), bool))
         buf0 = jnp.zeros((b, max_tokens), dtype=jnp.int32) \
