@@ -170,3 +170,61 @@ def test_full_model_and_fused_loss():
     fused = rl.rnnt_loss_fused(enc, dec, jp, text, s_len, t_len,
                                chunk_size=4, reduction="none")
     np.testing.assert_allclose(np.asarray(fused), np.asarray(full), rtol=2e-3)
+
+
+@pytest.mark.parametrize("variant,cls_name,t_in",
+                         [("conv2d", "Conv2dSubsampling", 23),
+                          ("conv2d6", "Conv2dSubsampling6", 35),
+                          ("conv2d8", "Conv2dSubsampling8", 47)])
+def test_conv2d_subsampling_parity(variant, cls_name, t_in):
+    """Conv front-end math vs the vendored torch modules (module-level:
+    the reference's conv2d + rel_selfattn ENCODER combination is broken —
+    its EncoderLayer feeds the attention without the required pos_emb/mask
+    args, raising TypeError — so parity is checked on the subsampling
+    itself, which is the part the reference ever exercises)."""
+    _load_ref_espnet()
+    import espnet.nets.pytorch_backend.transformer.subsampling as sub_mod
+    from transformer_transducer_tpu.models.espnet_variant import (
+        Conv2dSubsampling, conv_subsampled_length)
+    torch.manual_seed(2)
+    idim, odim = 16, 12
+    ref = getattr(sub_mod, cls_name)(idim, odim, dropout_rate=0.0,
+                                     pos_enc=torch.nn.Identity())
+    ref.eval()
+    x = np.random.RandomState(1).randn(2, t_in, idim).astype(np.float32)
+    mask = torch.ones(2, 1, t_in, dtype=torch.bool)
+    mask[1, :, t_in - 5:] = False
+    with torch.no_grad():
+        ref_out, ref_mask = ref(torch.from_numpy(x), mask)
+
+    model = Conv2dSubsampling(odim=odim, variant=variant)
+    params = tc.espnet_subsampling_params(_to_np(ref), prefix="")
+    got, olens = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x), jnp.asarray([t_in, t_in - 5]))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               rtol=3e-4, atol=1e-5)
+    # length update == espnet's mask slicing
+    np.testing.assert_array_equal(np.asarray(olens),
+                                  ref_mask.squeeze(1).sum(1).numpy())
+    assert int(conv_subsampled_length(jnp.asarray([t_in]), variant,
+                                      t_in)[0]) == ref_out.shape[1]
+
+
+def test_conv2d_encoder_end_to_end():
+    """Full flax encoder with a conv front-end: band + pad masks at the
+    subsampled rate (works here; shape-errors in the reference)."""
+    model = EspnetTransformerEncoder(output_size=16, attention_heads=2,
+                                     linear_units=32, num_blocks=2,
+                                     dropout_rate=0.0,
+                                     positional_dropout_rate=0.0,
+                                     attention_dropout_rate=0.0,
+                                     input_layer="conv2d", input_size=16)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 23, 16).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.asarray([23, 18]))
+    out, olens = model.apply(variables, x, jnp.asarray([23, 18]),
+                             3, 1)   # banded + padded
+    assert out.shape == (2, 5, 16)
+    # espnet slicing semantics: positions 0,4,8,12,16 survive both conv
+    # slices and all are < 18, so BOTH rows keep 5 valid frames
+    np.testing.assert_array_equal(np.asarray(olens), [5, 5])

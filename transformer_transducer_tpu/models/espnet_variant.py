@@ -146,12 +146,68 @@ class EspnetEncoderLayer(nn.Module):
         return x + nn.Dropout(self.dropout, name="drop2")(ff, deterministic=deterministic)
 
 
+_CONV_STACKS = {
+    # (kernel, stride) per conv; all VALID padding (torch Conv2d padding=0).
+    # Reference: espnet/nets/pytorch_backend/transformer/subsampling.py
+    # Conv2dSubsampling:42 (1/4), Conv2dSubsampling6:101 (1/6),
+    # Conv2dSubsampling8:149 (1/8).
+    "conv2d": ((3, 2), (3, 2)),
+    "conv2d6": ((3, 2), (5, 3)),
+    "conv2d8": ((3, 2), (3, 2), (3, 2)),
+}
+
+
+def conv_subsampled_length(lengths, variant: str, t_in: int):
+    """Valid-length update matching espnet's mask slicing exactly
+    (``[:-2:2]`` per s2 conv, ``[:-4:3]`` for the s3 conv): the slice keeps
+    positions ``0, s, 2s, ... <= T-k``, so the valid count is
+    ``ceil(min(len, T-(k-1)) / s)`` per conv."""
+    t = t_in
+    for k, s in _CONV_STACKS[variant]:
+        lengths = -(-jnp.minimum(lengths, t - (k - 1)) // s)
+        t = (t - k) // s + 1
+    return lengths
+
+
+class Conv2dSubsampling(nn.Module):
+    """Conv2d subsampling front-end (1/4, 1/6 or 1/8 time reduction).
+
+    Matches the reference modules' math: stacked VALID Conv2d(+ReLU) over the
+    (time, freq) plane, channels -> ``odim``, then a Linear over the
+    flattened (channel-major, as torch's ``view(b, t, c*f)``) feature axis.
+    The positional encoding / sqrt(d) scaling stays with the caller (the
+    espnet recipe threads its pos_enc class INTO the torch module; here the
+    encoder applies it right after, same order).
+    """
+
+    odim: int
+    variant: str = "conv2d"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: Optional[jax.Array]
+                 ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        h = x[..., None]                                   # NHWC (B, T, D, 1)
+        for i, (k, s) in enumerate(_CONV_STACKS[self.variant]):
+            h = nn.Conv(self.odim, (k, k), strides=(s, s), padding="VALID",
+                        name=f"conv_{i}")(h)
+            h = nn.relu(h)
+        b, t, f, c = h.shape
+        h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)   # torch (b,t,c*f)
+        h = nn.Dense(self.odim, name="out")(h)
+        if lengths is None:
+            return h, None
+        return h, conv_subsampled_length(lengths, self.variant, x.shape[1])
+
+
 class EspnetTransformerEncoder(nn.Module):
     """ESPnet-style encoder with banded masks and rel-pos attention.
 
     ``input_layer``: None (features already d_model-sized), "embed"
     (token embedding, padding semantics per espnet padding_idx=-1 — i.e. a
-    plain lookup), or "linear" (projection + LN + dropout + relu).
+    plain lookup), "linear" (projection + LN + dropout + relu), or
+    "conv2d"/"conv2d6"/"conv2d8" (time-subsampling conv front-ends; the
+    band/padding masks are built at the SUBSAMPLED rate, like the
+    reference's post-embed mask math).
     """
 
     output_size: int
@@ -172,18 +228,6 @@ class EspnetTransformerEncoder(nn.Module):
                  deterministic: bool = True,
                  extra_mask: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, Optional[jax.Array]]:
-        t = xs.shape[1]
-        # combined mask (True == masked): band + key-side padding + extra
-        band = None
-        if left_mask >= 0 or right_mask >= 0:
-            band = context_mask(t, left_mask if left_mask >= 0 else t,
-                                right_mask if right_mask >= 0 else t)
-        pad = padding_mask(lengths, t)[:, None, :] if lengths is not None else None
-        if extra_mask is not None and extra_mask.ndim == 2:
-            extra_mask = extra_mask[None]
-        mask = combine_masks(band[None] if band is not None else None, pad,
-                             extra_mask)
-
         if self.input_layer == "embed":
             x = nn.Embed(self.input_size, self.output_size, name="embed",
                          embedding_init=nn.initializers.normal(1.0))(xs)
@@ -198,8 +242,26 @@ class EspnetTransformerEncoder(nn.Module):
             x = nn.Dropout(self.dropout_rate, name="input_drop")(
                 x, deterministic=deterministic)
             x = nn.relu(x)
+        elif self.input_layer in _CONV_STACKS:
+            x, lengths = Conv2dSubsampling(
+                odim=self.output_size, variant=self.input_layer,
+                name="subsample")(xs, lengths)
         else:
             x = xs
+
+        t = x.shape[1]
+        # combined mask (True == masked): band + key-side padding + extra,
+        # all at the (possibly conv-subsampled) model rate
+        band = None
+        if left_mask >= 0 or right_mask >= 0:
+            band = context_mask(t, left_mask if left_mask >= 0 else t,
+                                right_mask if right_mask >= 0 else t)
+        pad = padding_mask(lengths, t)[:, None, :] if lengths is not None else None
+        if extra_mask is not None and extra_mask.ndim == 2:
+            extra_mask = extra_mask[None]
+        mask = combine_masks(band[None] if band is not None else None, pad,
+                             extra_mask)
+
         x = x * math.sqrt(self.output_size)
         pos = jnp.asarray(rel_positional_encoding(t, self.output_size))
         x = nn.Dropout(self.positional_dropout_rate, name="pos_drop")(

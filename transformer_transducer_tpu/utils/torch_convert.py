@@ -82,6 +82,24 @@ def transducer_params(encoder_sd, decoder_sd, joint_sd) -> Dict:
 # ESPnet-variant family (tt_espnet/model.py)
 # ---------------------------------------------------------------------------
 
+def espnet_subsampling_params(sd: Mapping[str, np.ndarray],
+                              prefix: str = "embed.") -> Dict:
+    """``Conv2dSubsampling{,6,8}`` state dict -> flax params for
+    ``models.espnet_variant.Conv2dSubsampling``: torch conv (O, I, KH, KW)
+    -> flax (KH, KW, I, O); the trailing Linear flattens channel-major on
+    both sides (torch ``view(b, t, c*f)`` == our transpose+reshape)."""
+    g = lambda name: np.asarray(sd[prefix + name])
+    idxs = sorted({int(k[len(prefix) + 5:].split(".")[0]) for k in sd
+                   if k.startswith(prefix + "conv.") and k.endswith(".weight")})
+    sub: Dict = {}
+    for ci, ti in enumerate(idxs):
+        sub[f"conv_{ci}"] = {
+            "kernel": g(f"conv.{ti}.weight").transpose(2, 3, 1, 0),
+            "bias": g(f"conv.{ti}.bias")}
+    sub["out"] = {"kernel": g("out.0.weight").T, "bias": g("out.0.bias")}
+    return sub
+
+
 def espnet_encoder_params(sd: Mapping[str, np.ndarray]) -> Dict:
     """ESPnet ``TransformerEncoder`` state dict -> flax params for
     ``models.espnet_variant.EspnetTransformerEncoder``."""
@@ -115,7 +133,9 @@ def espnet_encoder_params(sd: Mapping[str, np.ndarray]) -> Dict:
         }
     out["after_norm"] = {"scale": g("after_norm.weight"),
                          "bias": g("after_norm.bias")}
-    if "embed.0.weight" in sd and sd["embed.0.weight"].ndim == 2 \
+    if "embed.conv.0.weight" in sd:
+        out["subsample"] = espnet_subsampling_params(sd)
+    elif "embed.0.weight" in sd and sd["embed.0.weight"].ndim == 2 \
             and "embed.0.bias" not in sd:
         out["embed"] = {"embedding": g("embed.0.weight")}
     elif "embed.0.weight" in sd:
