@@ -50,3 +50,28 @@ def test_fused_kernel_in_loss():
     got = rl.rnnt_loss_grid(lpb, lpl, t_len, u_len)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4 if INTERPRET else 3e-3)
+
+
+def test_rnnt_loss_fused_use_pallas_matches_xla():
+    """The eval path routes grid extraction through the kernel
+    (rnnt_loss_fused(use_pallas=True)); losses must match the XLA chunks."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from transformer_transducer_tpu.ops.rnnt_loss import rnnt_loss_fused
+
+    rng = np.random.RandomState(5)
+    b, t, u1, v, d, j = 2, 12, 5, 20, 16, 8
+    enc = jnp.asarray(rng.randn(b, t, d).astype(np.float32) * 0.3)
+    dec = jnp.asarray(rng.randn(b, u1, d).astype(np.float32) * 0.3)
+    labels = jnp.asarray(rng.randint(1, v, (b, u1 - 1)))
+    jp = tuple(jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
+               for s in [(d, j), (d, j), (j,), (j, v), (v,)])
+    t_len = jnp.asarray([t, t - 3])
+    u_len = jnp.asarray([u1 - 1, u1 - 2])
+    base = rnnt_loss_fused(enc, dec, jp, labels, t_len, u_len, chunk_size=4,
+                           reduction="none")
+    pal = rnnt_loss_fused(enc, dec, jp, labels, t_len, u_len,
+                          reduction="none", use_pallas=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)

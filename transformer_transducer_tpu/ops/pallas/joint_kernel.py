@@ -86,7 +86,8 @@ def _kernel(enc_ref, decp_ref, we_ref, wo_ref, bo_ref, labels_ref,
         lpl_ref[0] = lbl_scr[:] - lse
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "compute_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("blank", "interpret", "compute_dtype"))
 def fused_grid_logprobs_pallas(enc: jax.Array, dec: jax.Array, joint_params,
                                labels: jax.Array, blank: int = 0,
                                interpret: bool = False,

@@ -67,11 +67,16 @@ def make_loss_fn(model, cfg: TrainStepConfig) -> Callable:
             enc, dec = model.apply({"params": params}, inputs,
                                    batch["targets"], **common)
             jp = joint_params_from_variables(params)
+        # eval never differentiates -> the forward-only Pallas joint+LSE
+        # kernel is safe there (and marginally faster than the XLA chunks
+        # on TPU; see rnnt_loss_fused docstring for the measurement)
         return rnnt_loss_fused(enc, dec, jp, batch["targets"],
                                batch["inputs_length"], batch["targets_length"],
                                chunk_size=cfg.loss_chunk_size,
                                compute_dtype=cfg.compute_dtype,
-                               reduction="mean")
+                               reduction="mean",
+                               use_pallas=(not train and
+                                           jax.default_backend() == "tpu"))
     return loss_fn
 
 
