@@ -64,3 +64,35 @@ def test_vocab_roundtrip(tmp_path):
     assert v2.word2index == v.word2index
     assert v2.encode("abz") == [1, 2, v2.word2index["<unk>"]]
     assert v2.decode([1, 2]) == ["a", "b"]
+
+
+def test_step_decay_schedule_selectable():
+    """optim.schedule: step_decay wires the warmup-hold-decay schedule
+    (the reference's step_decay_lr is buggy AND unreachable,
+    tt/optim.py:35-55; here it is correct and selectable)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from transformer_transducer_tpu.training import optim as optim_lib
+    from transformer_transducer_tpu.utils.config import Config
+
+    cfg = Config({"type": "adam", "lr": 1e-3, "schedule": "step_decay",
+                  "warmup_steps": 10, "hold_steps": 20, "final_step": 40,
+                  "init_lr": 1e-5, "min_lr": 1e-5})
+    tx = optim_lib.build_optimizer(cfg, max_grad_norm=200.0)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((3,))}
+    lrs = []   # lrs[k] = the LR applied by update k (schedule(k))
+    for _ in range(41):
+        _, state = tx.update(grads, state, params)
+        lrs.append(optim_lib.get_learning_rate(state))
+    # warmup rises to max, holds, then decays toward min
+    assert lrs[0] < 2e-4
+    np.testing.assert_allclose(lrs[10], 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(lrs[20], 1e-3, rtol=1e-5)
+    assert lrs[30] < 1e-3
+    np.testing.assert_allclose(lrs[40], 1e-5, rtol=1e-3)
+    # python twin agrees
+    py = optim_lib.step_decay_lr(30, 10, 20, 40, 1e-5, 1e-3, 1e-5)
+    np.testing.assert_allclose(lrs[30], py, rtol=1e-5)

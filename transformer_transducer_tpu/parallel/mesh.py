@@ -16,6 +16,7 @@ Axes:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -25,22 +26,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_log = logging.getLogger("transformer_transducer_tpu")
+
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (data, model) mesh over available devices.
 
-    Defaults to all devices on the data axis.  ``n_data * n_model`` must not
-    exceed the device count; extra devices are left unused (a warning would be
-    better than a crash for odd pool sizes).
+    Defaults to all devices on the data axis.  Oversized requests degrade
+    gracefully: if ``n_data * n_model`` exceeds the pool, ``n_data`` shrinks
+    to the largest fit (with a warning) rather than crashing — an odd pool
+    just leaves its remainder devices unused.  ``n_model`` is never shrunk
+    (tensor-parallel degree changes parameter layouts, so it must be an
+    explicit choice); a pool smaller than ``n_model`` still raises.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < n_model:
+        raise ValueError(f"model axis {n_model} needs at least that many "
+                         f"devices, have {len(devices)}")
+    fit = len(devices) // n_model
     if n_data is None:
-        n_data = len(devices) // n_model
+        n_data = fit
+    elif n_data * n_model > len(devices):
+        _log.warning("mesh %dx%d needs %d devices, have %d; shrinking the "
+                     "data axis to %d (%d device(s) left unused)",
+                     n_data, n_model, n_data * n_model, len(devices), fit,
+                     len(devices) - fit * n_model)
+        n_data = fit
     need = n_data * n_model
-    if need > len(devices):
-        raise ValueError(f"mesh {n_data}x{n_model} needs {need} devices, "
-                         f"have {len(devices)}")
     grid = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

@@ -26,21 +26,40 @@ import optax
 
 
 def build_optimizer(config, max_grad_norm: Optional[float] = None) -> optax.GradientTransformation:
-    """sgd/adam/adadelta from a reference-schema ``optim:`` config block."""
+    """sgd/adam/adadelta from a reference-schema ``optim:`` config block.
+
+    ``schedule: step_decay`` in the block selects the per-step
+    warmup-hold-decay schedule (:func:`step_decay_schedule`) instead of the
+    fixed ``lr`` (overridable knobs: ``warmup_steps``, ``hold_steps``,
+    ``final_step``, ``init_lr``, ``min_lr``; ``lr`` becomes ``max_lr``).
+    The epoch-level :class:`LRController` should be disabled by the caller
+    when a step schedule is active (the Trainer does this).
+    """
     kind = config.type
     wd = config.weight_decay or 0.0
+    lr = config.lr
+    if getattr(config, "schedule", None) == "step_decay":
+        import functools
+        lr = functools.partial(
+            step_decay_schedule,
+            warmup_steps=config.warmup_steps or 4e3,
+            hold_steps=config.hold_steps or 3e4,
+            final_step=config.final_step or 2.3e5,
+            init_lr=config.init_lr or 1e-6,
+            max_lr=config.lr,
+            min_lr=config.min_lr or 2.5e-6)
     if kind == "adam":
         tx = optax.inject_hyperparams(_adam, static_args=("weight_decay",))(
-            learning_rate=config.lr, weight_decay=wd)
+            learning_rate=lr, weight_decay=wd)
     elif kind == "sgd":
         tx = optax.inject_hyperparams(
             _sgd, static_args=("momentum", "nesterov", "weight_decay"))(
-            learning_rate=config.lr, momentum=config.momentum or 0.0,
+            learning_rate=lr, momentum=config.momentum or 0.0,
             nesterov=bool(config.nesterov), weight_decay=wd)
     elif kind == "adadelta":
         tx = optax.inject_hyperparams(
             _adadelta, static_args=("rho", "eps", "weight_decay"))(
-            learning_rate=config.lr, rho=config.rho or 0.9,
+            learning_rate=lr, rho=config.rho or 0.9,
             eps=config.eps or 1e-6, weight_decay=wd)
     else:
         raise NotImplementedError(f"optimizer type {kind!r}")
@@ -67,6 +86,20 @@ def _sgd(learning_rate, momentum=0.0, nesterov=False, weight_decay=0.0):
 def _adadelta(learning_rate, rho=0.9, eps=1e-6, weight_decay=0.0):
     return optax.chain(optax.scale_by_adadelta(rho=rho, eps=eps),
                        _wd(weight_decay), optax.scale(-learning_rate))
+
+
+def step_decay_schedule(step, warmup_steps: float = 4e3,
+                        hold_steps: float = 3e4, final_step: float = 2.3e5,
+                        init_lr: float = 1e-6, max_lr: float = 2.5e-4,
+                        min_lr: float = 2.5e-6):
+    """jnp (traceable) twin of :func:`step_decay_lr` — usable as an optax
+    schedule through ``inject_hyperparams`` (``optim.schedule: step_decay``)."""
+    step = jnp.asarray(step, jnp.float32)
+    warm = init_lr + (max_lr - init_lr) * step / warmup_steps
+    frac = jnp.clip((step - hold_steps) / (final_step - hold_steps), 0.0, 1.0)
+    decay = max_lr * jnp.exp(frac * jnp.log(min_lr / max_lr))
+    return jnp.where(step <= warmup_steps, warm,
+                     jnp.where(step <= hold_steps, max_lr, decay))
 
 
 def step_decay_lr(step: int, warmup_steps: float = 4e3, hold_steps: float = 3e4,

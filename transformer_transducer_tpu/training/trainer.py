@@ -263,6 +263,8 @@ class Trainer:
             self.save(epoch)
             if self.config.training.eval_or_not:
                 self.evaluate(epoch, dev_loader, max_batches=eval_batches)
+            if self.config.optim.schedule is not None:
+                continue   # per-step schedule owns the LR (optim.schedule)
             if not self.lr_ctl.maybe_decay(epoch):
                 self.logger.info("The learning rate is too low to train.")
                 break
