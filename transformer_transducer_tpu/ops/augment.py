@@ -64,12 +64,85 @@ def speed_perturb(rng: np.random.Generator, samples: np.ndarray,
     return np.interp(new_idx, old_idx, samples.astype(np.float64)).astype(dtype)
 
 
+def speed_perturb_stft(rng: np.random.Generator, samples: np.ndarray,
+                       min_rate: float = 0.9, max_rate: float = 1.1,
+                       n_fft: int = 512, hop: int = 128) -> np.ndarray:
+    """Pitch-preserving phase-vocoder time stretch — the analog of the
+    reference's ``speed_librosa`` (``speed_augment.py:34-49``,
+    ``librosa.effects.time_stretch``), implemented directly on the STFT.
+    Unlike :func:`speed_perturb` (plain resampling) the pitch is unchanged.
+    """
+    dtype = samples.dtype
+    rate = rng.uniform(min_rate, max_rate)
+    x = samples.astype(np.float64)
+    win = np.hanning(n_fft)
+    n_frames = max(1, 1 + (len(x) - n_fft) // hop)
+    frames = np.lib.stride_tricks.as_strided(
+        x, (n_frames, n_fft), (x.strides[0] * hop, x.strides[0])).copy()
+    stft = np.fft.rfft(frames * win, axis=1)               # (F, n_fft/2+1)
+
+    # phase vocoder: sample frame positions at `rate`, interpolate magnitude,
+    # accumulate per-bin phase advance corrected by the expected hop phase
+    steps = np.arange(0, n_frames - 1, rate)
+    omega = 2 * np.pi * hop * np.arange(stft.shape[1]) / n_fft
+    mag0, mag1 = np.abs(stft[steps.astype(int)]), \
+        np.abs(stft[np.minimum(steps.astype(int) + 1, n_frames - 1)])
+    frac = (steps - steps.astype(int))[:, None]
+    mags = (1 - frac) * mag0 + frac * mag1
+    dphase = np.angle(stft[np.minimum(steps.astype(int) + 1, n_frames - 1)]) \
+        - np.angle(stft[steps.astype(int)]) - omega[None]
+    dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
+    phases = np.cumsum(np.concatenate(
+        [np.angle(stft[:1]), omega[None] + dphase[:-1]], axis=0), axis=0)
+    out_frames = np.fft.irfft(mags * np.exp(1j * phases), n=n_fft, axis=1)
+
+    # windowed overlap-add with COLA normalization
+    out_len = n_fft + hop * (len(steps) - 1)
+    out = np.zeros(out_len)
+    norm = np.zeros(out_len)
+    for i in range(len(steps)):                       # bounded (~len/hop) loop
+        out[i * hop:i * hop + n_fft] += out_frames[i] * win
+        norm[i * hop:i * hop + n_fft] += win ** 2
+    out /= np.maximum(norm, 1e-8)
+    return out.astype(dtype)
+
+
+def speed_perturb_chunked(rng: np.random.Generator, samples: np.ndarray,
+                          min_rate: float = 1.05, max_rate: float = 1.3,
+                          chunk: int = 2048, crossfade: int = 128) -> np.ndarray:
+    """Chunk-dropping speedup with crossfades — a WORKING analog of the
+    reference's ``speed_pydub`` (``speed_augment.py:53-69``; that one
+    ignores its rate argument and feeds pydub a raw ndarray, so it cannot
+    run).  Only speeds up (rate > 1), like ``pydub.effects.speedup``."""
+    dtype = samples.dtype
+    rate = rng.uniform(min_rate, max_rate)
+    x = samples.astype(np.float64)
+    keep = int(chunk / rate)
+    pieces = []
+    for start in range(0, len(x), chunk):
+        seg = x[start:start + chunk][:keep]
+        if pieces and len(seg) > crossfade and len(pieces[-1]) > crossfade:
+            ramp = np.linspace(0.0, 1.0, crossfade)
+            pieces[-1][-crossfade:] = (pieces[-1][-crossfade:] * (1 - ramp)
+                                       + seg[:crossfade] * ramp)
+            seg = seg[crossfade:]
+        pieces.append(seg.copy())
+    return np.concatenate(pieces).astype(dtype)
+
+
 def time_shift(rng: np.random.Generator, samples: np.ndarray,
                max_ratio: float = 0.05) -> np.ndarray:
     """Circular roll by up to ±max_ratio of the length
     (reference ``time_shift_augment.py:41-55``)."""
     frac = rng.uniform(-max_ratio, max_ratio)
     return np.roll(samples, int(len(samples) * frac))
+
+
+def time_shift_fixed(samples: np.ndarray, ratio: float = 0.05) -> np.ndarray:
+    """Fixed-amount circular LEFT roll — the reference's ``time_shift_baidu``
+    (``time_shift_augment.py:12-39``; its random amount is commented out, so
+    it always advances by ``int(len * ratio)``)."""
+    return np.roll(samples, -int(len(samples) * ratio))
 
 
 def pitch_shift_fft(rng: np.random.Generator, samples: np.ndarray,

@@ -39,6 +39,29 @@ def save_checkpoint(path: str, params: Dict, opt_state: Any = None,
     return path
 
 
+def save_partial_checkpoint(path: str, params: Dict, components,
+                            opt_state: Any = None, epoch: int = 0,
+                            step: int = 0) -> str:
+    """Checkpoint an arbitrary subset of top-level components — the analog
+    of the reference's CTC / language-model save variants
+    (``save_ctc_model`` / ``save_language_model``, ``tt/utils.py:94-118``),
+    which persist {encoder, project_layer} / {decoder, project_layer}
+    subsets for pre-training workflows.  ``components`` are top-level keys
+    of ``params``; ``load_component`` reads them back individually."""
+    os.makedirs(path, exist_ok=True)
+    params = jax.device_get(params)
+    for comp in components:
+        with open(os.path.join(path, f"{comp}.msgpack"), "wb") as fh:
+            fh.write(flax.serialization.to_bytes(params[comp]))
+    if opt_state is not None:
+        with open(os.path.join(path, "optimizer.msgpack"), "wb") as fh:
+            fh.write(flax.serialization.to_bytes(jax.device_get(opt_state)))
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"epoch": int(epoch), "step": int(step),
+                   "components": list(components)}, fh)
+    return path
+
+
 def load_component(path: str, comp: str, template: Any) -> Any:
     with open(os.path.join(path, f"{comp}.msgpack"), "rb") as fh:
         return flax.serialization.from_bytes(template, fh.read())
