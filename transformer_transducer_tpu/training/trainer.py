@@ -114,7 +114,12 @@ class Trainer:
         self.global_step = 0
         self._maybe_load()
 
-        self.step_cfg = TrainStepConfig(compute_dtype=compute_dtype)
+        # training.specaug: None/absent -> on (reference default: SpecAugment
+        # is unconditional in its collate path); explicit false disables it
+        # (needed e.g. for memorization tests and very small corpora).
+        sa = config.training.specaug
+        self.step_cfg = TrainStepConfig(compute_dtype=compute_dtype,
+                                        specaug=True if sa is None else bool(sa))
         self.train_step = compile_train_step(
             self.model, self.tx, self.mesh, self.params, self.opt_state,
             self.step_cfg)
