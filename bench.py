@@ -90,8 +90,14 @@ def bench_offline_rtf(batch=8, t=410, u_cap=43):
     return audio_seconds / dt
 
 
-def bench_train_step(batch=4, t=410, u=42):
-    """Full fused-loss training step on the aishell config, bf16 compute."""
+def bench_train_step(batch=4, t=410, u=42, n_chain=8):
+    """Full fused-loss training step on the aishell config, bf16 compute.
+
+    ``n_chain`` optimizer updates run as ONE device program (``lax.scan``,
+    the ``training.steps_per_call`` production path), so the relay's
+    25-100 ms per-call dispatch amortizes away and the number reflects chip
+    throughput — exactly what a pipelined/scanned training loop achieves.
+    """
     from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.training import optim as optim_lib
     from transformer_transducer_tpu.training.train_step import (
@@ -111,20 +117,34 @@ def bench_train_step(batch=4, t=410, u=42):
     tx = optim_lib.build_optimizer(
         Config({"type": "sgd", "lr": 2.5e-4, "momentum": 0.9}), 200.0)
     opt_state = tx.init(params)
-    step = jax.jit(make_train_step(
-        model, tx, TrainStepConfig(compute_dtype=jnp.bfloat16,
-                                   loss_chunk_size=16)))
+    step = make_train_step(model, tx, TrainStepConfig(
+        compute_dtype=jnp.bfloat16, loss_chunk_size=16))
 
-    def run(p, o):
-        p, o, m = step(p, o, batch_d, jax.random.PRNGKey(2))
-        return m["loss"]
+    @jax.jit
+    def chain(p, o):
+        def body(carry, i):
+            p, o, m = step(carry[0], carry[1], batch_d,
+                           jax.random.fold_in(jax.random.PRNGKey(2), i))
+            return (p, o), m["loss"]
+        (p, o), losses = jax.lax.scan(body, (p, o), jnp.arange(n_chain))
+        return losses[-1]
 
-    dt = _timeit(run, params, opt_state, iters=5)
-    return dt * 1e3  # ms / step
+    _force(chain(params, opt_state))  # compile
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(chain(params, opt_state))
+        best = min(best, (time.perf_counter() - t0) / n_chain)
+    return best * 1e3  # ms / step
 
 
-def bench_encode_mfu(batch=16, t=410):
-    """Encoder-only MFU at a saturating batch (aishell config, bf16)."""
+def bench_encode_mfu(batch=16, t=410, n_chain=16):
+    """Encoder-only MFU at a saturating batch (aishell config, bf16).
+
+    ``n_chain`` encoder applications chain inside one program (the output is
+    d_model-sized like the input, so each feeds the next) — a single encode
+    is ~1 ms of chip time, far below the relay dispatch floor.
+    """
     from transformer_transducer_tpu.models.transducer import Transducer
 
     model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
@@ -135,12 +155,21 @@ def bench_encode_mfu(batch=16, t=410):
     params = model.init(rng, x[:1, :8], jnp.zeros((1, 4), jnp.int32))
 
     @jax.jit
-    def run(x):
-        return model.apply(params, x, None, method=Transducer.encode)
+    def chain(x):
+        def body(c, _):
+            out = model.apply(params, c, None, method=Transducer.encode)
+            return out * 1e-3 + x, None
+        out, _ = jax.lax.scan(body, x, None, length=n_chain)
+        return jnp.sum(out)
 
-    dt = _timeit(run, x, iters=5)
+    _force(chain(x))  # compile
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(chain(x))
+        best = min(best, (time.perf_counter() - t0) / n_chain)
     flops = transducer_flops(batch, t, 0, 0)  # encoder term only
-    return flops / dt / PEAK_FLOPS
+    return flops / best / PEAK_FLOPS
 
 
 def bench_rnnt_loss(batch=4, t=410, u=42, v=4334):

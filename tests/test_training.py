@@ -146,3 +146,64 @@ def test_lr_decay_and_early_stop():
     assert abs(ctl.lr - 1e-5) < 1e-12
     ctl.maybe_decay(3)                   # ~1e-6 (float-equal boundary)
     assert not ctl.maybe_decay(4)        # 1e-7 -> below min -> stop
+
+
+def test_train_scan_matches_sequential_steps(corpus):
+    """compile_train_scan (K steps in one program) == K sequential single
+    steps given the same per-step RNGs, on the 8-device DP mesh."""
+    from transformer_transducer_tpu.training.train_step import (
+        compile_train_scan, make_train_step)
+
+    root, vocab_path, csvs = corpus
+    cfg = tiny_train_config(root, vocab_path, csvs)
+    model = build_transducer(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    k, b, t, u, d = 3, 8, 12, 4, 16
+    xs = jax.random.normal(rng, (k, b, t, d))
+    ys = jax.random.randint(jax.random.PRNGKey(1), (k, b, u), 1, 12)
+    stacked = {"inputs": xs, "targets": ys,
+               "inputs_length": jnp.full((k, b), t),
+               "targets_length": jnp.full((k, b), u)}
+    params = model.init(rng, xs[0], ys[0])["params"]
+    tx = optim_lib.build_optimizer(cfg.optim, 200.0)
+    opt_state = tx.init(params)
+    scfg = TrainStepConfig(specaug=False)
+
+    mesh = mesh_lib.make_mesh(n_data=8)
+    scan_step = compile_train_scan(model, tx, mesh, params, opt_state, scfg,
+                                   donate=False)
+    p_scan, _, ms = scan_step(params, opt_state,
+                              mesh_lib.shard_stacked_batch(stacked, mesh),
+                              jax.random.PRNGKey(7))
+    assert ms["loss"].shape == (k,)
+
+    single = jax.jit(make_train_step(model, tx, scfg))
+    p, o = params, opt_state
+    rngs = jax.random.split(jax.random.PRNGKey(7), k)
+    seq_losses = []
+    for i in range(k):
+        batch = {key: v[i] for key, v in stacked.items()}
+        p, o, m = single(p, o, batch, rngs[i])
+        seq_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        jax.device_get(p_scan), jax.device_get(p))
+
+
+def test_trainer_steps_per_call(corpus, tmp_path):
+    """Trainer with steps_per_call=2 over 3 batches: one scanned group + a
+    single-step tail; step accounting and loss trajectory stay sane."""
+    root, vocab_path, csvs = corpus
+    cfg = tiny_train_config(root, vocab_path, csvs)
+    cfg.override("training.steps_per_call", 2)
+    trainer = Trainer(cfg, exp_root=str(tmp_path / "egs"))
+    assert trainer.train_scan is not None
+    train_loader, _ = trainer.make_loaders()
+    n_batches = len(train_loader)
+    losses = [trainer.train_epoch(e, train_loader) for e in range(2)]
+    assert all(np.isfinite(losses))
+    assert losses[1] < losses[0]
+    assert trainer.global_step == 2 * n_batches

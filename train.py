@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--augment", action="store_true",
                         help="enable waveform augmentation chain")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps-per-call", type=int, default=None,
+                        help="scan K optimizer updates inside one device "
+                        "program (amortizes per-call dispatch latency; "
+                        "same as --set training.steps_per_call=K)")
     parser.add_argument("--set", action="append", default=[],
                         metavar="KEY=VALUE", help="config override (dotted key)")
     args = parser.parse_args()
@@ -53,6 +57,8 @@ def main():
         except (ValueError, SyntaxError):
             pass
         cfg.override(key, value)
+    if args.steps_per_call:
+        cfg.override("training.steps_per_call", args.steps_per_call)
 
     trainer = Trainer(cfg, mode=args.mode, log_file=args.log,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

@@ -75,6 +75,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a (K, B, ...) super-batch of K stacked step batches:
+    the step axis is a device-side loop (replicated), batch rides 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_stacked_batch(batch, mesh: Mesh):
+    """Place a (K, B, ...) host super-batch (see ``stacked_batch_sharding``)."""
+    sh = stacked_batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch (pytree of arrays, leading batch dim) on the mesh."""
     sh = batch_sharding(mesh)

@@ -117,6 +117,50 @@ def compile_train_step(model: Transducer, tx: optax.GradientTransformation,
         donate_argnums=(0, 1) if donate else ())
 
 
+def compile_train_scan(model: Transducer, tx: optax.GradientTransformation,
+                       mesh, params, opt_state,
+                       cfg: Optional[TrainStepConfig] = None,
+                       donate: bool = True) -> Callable:
+    """jit K chained train steps as ONE device program (``lax.scan`` over a
+    (K, B, ...) stacked super-batch; ``training.steps_per_call`` selects K).
+
+    The TPU-idiomatic "loop inside the program" pattern: per-call dispatch
+    latency (severe through remote relays, nonzero everywhere) amortizes over
+    K optimizer updates, and XLA keeps params/opt state resident in device
+    memory across the whole chain.  Numerics are identical to K sequential
+    single steps with the same per-step RNG stream (tested).
+
+    Returns ``scan_step(params, opt_state, batches, rng) ->
+    (params, opt_state, metrics)`` where each metric is stacked (K,).
+    """
+    step = make_train_step(model, tx, cfg)
+
+    def multi(params, opt_state, batches, rngs):
+        def body(carry, xs):
+            b, r = xs
+            p, o, m = step(carry[0], carry[1], b, r)
+            return (p, o), m
+        (p, o), ms = jax.lax.scan(body, (params, opt_state), (batches, rngs))
+        return p, o, ms
+
+    pspecs = sharding_lib.param_shardings(params, mesh)
+    ospecs = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, P()), opt_state,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    bspec = mesh_lib.stacked_batch_sharding(mesh)
+    rspec = mesh_lib.replicated(mesh)
+    jitted = jax.jit(multi,
+                     in_shardings=(pspecs, ospecs, bspec, rspec),
+                     out_shardings=(pspecs, ospecs, rspec),
+                     donate_argnums=(0, 1) if donate else ())
+
+    def scan_step(params, opt_state, batches, rng):
+        k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        return jitted(params, opt_state, batches, jax.random.split(rng, k))
+
+    return scan_step
+
+
 def make_eval_loss_step(model: Transducer,
                         cfg: Optional[TrainStepConfig] = None) -> Callable:
     cfg = cfg or TrainStepConfig()

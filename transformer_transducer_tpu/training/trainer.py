@@ -30,7 +30,8 @@ from transformer_transducer_tpu.models.transducer import Transducer, build_trans
 from transformer_transducer_tpu.parallel import mesh as mesh_lib
 from transformer_transducer_tpu.training import optim as optim_lib
 from transformer_transducer_tpu.training.train_step import (
-    TrainStepConfig, compile_train_step, make_eval_loss_step)
+    TrainStepConfig, compile_train_scan, compile_train_step,
+    make_eval_loss_step)
 from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
 from transformer_transducer_tpu.utils.config import Config, dump_config
 from transformer_transducer_tpu.utils.logging import MetricsWriter, init_logger
@@ -123,6 +124,13 @@ class Trainer:
         self.train_step = compile_train_step(
             self.model, self.tx, self.mesh, self.params, self.opt_state,
             self.step_cfg)
+        # training.steps_per_call > 1 scans K optimizer updates inside one
+        # device program (see compile_train_scan); leftovers (< K batches at
+        # epoch end) fall back to the single-step program above.
+        self.steps_per_call = int(config.training.steps_per_call or 1)
+        self.train_scan = (compile_train_scan(
+            self.model, self.tx, self.mesh, self.params, self.opt_state,
+            self.step_cfg) if self.steps_per_call > 1 else None)
         self.eval_loss_step = make_eval_loss_step(self.model, self.step_cfg)
 
     # ------------------------------------------------------------------
@@ -172,11 +180,28 @@ class Trainer:
         dev = DataLoader(dev_ds, dcfg.batch_size, shuffle=False, drop_last=False)
         return train, dev
 
-    def train_epoch(self, epoch: int, loader) -> float:
+    def _record_step(self, epoch, loss, grad_norm, total_loss, steps, t0):
         show = self.config.training.show_interval or 10
+        if self.metrics is not None:
+            self.metrics.add_scalar("train_loss", loss, self.global_step)
+            self.metrics.add_scalar("learn_rate", self.lr_ctl.lr,
+                                    self.global_step)
+        if self.global_step % show == 0:
+            dt = time.perf_counter() - t0
+            self.logger.info(
+                "-Training-Epoch:%d, Step:%d, lr:%.6f, GradNorm:%.4f, "
+                "Loss:%.5f, AvgLoss:%.5f, %.2f steps/s", epoch,
+                self.global_step, self.lr_ctl.lr, grad_norm,
+                loss, total_loss / steps, steps / dt)
+
+    def train_epoch(self, epoch: int, loader) -> float:
         total_loss, steps = 0.0, 0
         t0 = time.perf_counter()
-        for batch in loader:
+        k = self.steps_per_call
+        pending = []
+
+        def run_single(batch):
+            nonlocal total_loss, steps
             batch = mesh_lib.shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, m = self.train_step(
@@ -185,17 +210,36 @@ class Trainer:
             steps += 1
             loss = float(m["loss"])
             total_loss += loss
-            if self.metrics is not None:
-                self.metrics.add_scalar("train_loss", loss, self.global_step)
-                self.metrics.add_scalar("learn_rate", self.lr_ctl.lr,
-                                        self.global_step)
-            if self.global_step % show == 0:
-                dt = time.perf_counter() - t0
-                self.logger.info(
-                    "-Training-Epoch:%d, Step:%d, lr:%.6f, GradNorm:%.4f, "
-                    "Loss:%.5f, AvgLoss:%.5f, %.2f steps/s", epoch,
-                    self.global_step, self.lr_ctl.lr, float(m["grad_norm"]),
-                    loss, total_loss / steps, steps / dt)
+            self._record_step(epoch, loss, float(m["grad_norm"]),
+                              total_loss, steps, t0)
+
+        def run_group(group):
+            nonlocal total_loss, steps
+            stacked = {key: np.stack([b[key] for b in group])
+                       for key in group[0]}
+            stacked = mesh_lib.shard_stacked_batch(stacked, self.mesh)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, ms = self.train_scan(
+                self.params, self.opt_state, stacked, step_rng)
+            losses = np.asarray(ms["loss"], dtype=np.float64)
+            norms = np.asarray(ms["grad_norm"], dtype=np.float64)
+            for loss, norm in zip(losses, norms):
+                self.global_step += 1
+                steps += 1
+                total_loss += float(loss)
+                self._record_step(epoch, float(loss), float(norm),
+                                  total_loss, steps, t0)
+
+        for batch in loader:
+            if k <= 1:
+                run_single(batch)
+                continue
+            pending.append(batch)
+            if len(pending) == k:
+                run_group(pending)
+                pending = []
+        for batch in pending:  # leftover tail: single-step program
+            run_single(batch)
         avg = total_loss / max(steps, 1)
         self.logger.info("-Training-Epoch:%d done, AvgLoss: %.5f", epoch, avg)
         return avg
