@@ -225,13 +225,17 @@ def bench_streaming_rtf(seconds=30):
     session = StreamingSession(model, variables, cfg)
     rs = np.random.RandomState(0)
     wav = (rs.randn(16000 * seconds) * 3000).astype("int16")
-    # throughput: warm-up pass (compiles), then timed pass
-    for _ in range(2):
+    # throughput: warm-up pass (compiles), then best of 3 timed passes (the
+    # relay's dispatch latency is noisy — single-pass numbers swing 2-5x)
+    session.accept_waveform(wav)
+    session.finalize()
+    dt = 1e9
+    for _ in range(3):
         session.reset()
         t0 = time.perf_counter()
         session.accept_waveform(wav)
         session.finalize()
-        dt = time.perf_counter() - t0
+        dt = min(dt, time.perf_counter() - t0)
     # cadence: one audio window per accept_waveform call (warm already)
     session.reset()
     t0 = time.perf_counter()
@@ -242,6 +246,46 @@ def bench_streaming_rtf(seconds=30):
     session.finalize()
     lat_ms = (time.perf_counter() - t0) / n_win * 1e3
     return seconds / dt, lat_ms
+
+
+def bench_multistream(n_streams=8, seconds=30):
+    """Aggregate serving throughput: N concurrent streaming sessions on one
+    chip via ``BatchedStreamingSession`` (one fused device program per round,
+    all streams' windows + greedy scans advance together).  Returns aggregate
+    x-realtime: N x seconds of audio over wall time."""
+    import numpy as np
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+    from transformer_transducer_tpu.streaming.session import StreamingConfig
+
+    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
+                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
+                       compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 8, 512)),
+                           jnp.zeros((1, 4), jnp.int32))
+    cfg = StreamingConfig(left_context=10, right_context=2, n_layer=4,
+                          feature_dim=128)
+    session = BatchedStreamingSession(model, variables, cfg, n_streams)
+    rs = np.random.RandomState(0)
+    wavs = [(rs.randn(16000 * seconds) * 3000).astype("int16")
+            for _ in range(n_streams)]
+
+    def run():
+        session.reset()
+        for i, w in enumerate(wavs):
+            session.accept_waveform(i, w)
+            session.finalize(i)
+        session.run_to_completion()
+
+    run()  # warm-up/compile
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        dt = min(dt, time.perf_counter() - t0)
+    return n_streams * seconds / dt
 
 
 def bench_banded_attention(t=2048, b=4, h=8, dh=64, n_apply=50):
@@ -294,6 +338,7 @@ def main():
     loss_ms = bench_rnnt_loss()
     enc_mfu = bench_encode_mfu()
     stream_rtf, stream_lat_ms = bench_streaming_rtf()
+    multi_rtf = bench_multistream()
     dense_ms, banded_ms = bench_banded_attention()
     # MFU: standard convention — required model FLOPs (3x analytic forward;
     # remat recompute not credited) over measured time vs bf16 chip peak
@@ -308,6 +353,7 @@ def main():
         "rnnt_loss_fwdbwd_ms_b4_t410_u42": round(loss_ms, 2),
         "streaming_session_x_realtime_warm": round(stream_rtf, 2),
         "streaming_cadence_ms_per_window": round(stream_lat_ms, 2),
+        "multistream_8_aggregate_x_realtime": round(multi_rtf, 2),
         "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),
                                  "pallas": round(banded_ms, 3)},
         "backend": backend,

@@ -182,3 +182,30 @@ def test_loss_is_jittable_and_finite():
                                         jnp.asarray(t_len), jnp.asarray(u_len)))
     out = f(jnp.asarray(logits))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_no_remat_identical():
+    """loss_remat=False (XLA saves joint residuals instead of recomputing)
+    is a pure scheduling choice: values AND gradients are identical."""
+    rng = np.random.RandomState(11)
+    b, t, u, v, d, inner = 2, 9, 3, 7, 6, 10
+    enc = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    dec = jnp.asarray(rng.randn(b, u + 1, d).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, v, size=(b, u)).astype(np.int32))
+    t_len = jnp.asarray([t, t - 2], dtype=jnp.int32)
+    u_len = jnp.asarray([u, u - 1], dtype=jnp.int32)
+    jp = tuple(jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.3
+               for s in [(d, inner), (d, inner), (inner,), (inner, v), (v,)])
+
+    def loss(remat):
+        def f(e, dd):
+            return rl.rnnt_loss_fused(e, dd, jp, labels, t_len, u_len,
+                                      chunk_size=4, remat=remat)
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(True), argnums=(0, 1))(enc, dec)
+    v2, g2 = jax.value_and_grad(loss(False), argnums=(0, 1))(enc, dec)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    for a, r in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-5,
+                                   atol=1e-7)

@@ -246,13 +246,24 @@ def joint_params_from_variables(variables) -> Tuple[jax.Array, ...]:
 def fused_grid_logprobs(enc: jax.Array, dec: jax.Array, joint_params,
                         labels: jax.Array, blank: int = 0,
                         chunk_size: int = 32,
-                        compute_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                        compute_dtype=jnp.float32,
+                        remat: bool = True) -> Tuple[jax.Array, jax.Array]:
     """Blank/label log-prob grids straight from encoder / label-encoder states.
 
     Computes joint logits T-chunk by T-chunk under ``jax.checkpoint`` so the
     full (B, T, U+1, V) tensor is never materialized; the backward pass
     recomputes each chunk.  FLOP-dominant work (the two joint matmuls) stays
     MXU-shaped.
+
+    ``remat=False`` drops the per-chunk ``jax.checkpoint``: XLA saves the
+    residuals it wants (joint activations, ~(B,T,U,V)-scale) instead of
+    recomputing the joint forward in the backward pass.  Measured on 1x v5e
+    (aishell shapes, bf16): that is a LOSS — 41.9 vs 28.2 ms/step at B=4,
+    and compile-OOM at B=32 — because recomputing from VMEM-resident chunks
+    is cheaper than round-tripping GB-scale residuals through HBM (FLOPs are
+    cheaper than bandwidth on TPU).  The knob exists for small-vocab /
+    short-T regimes where the residuals fit caches; the trainer exposes it
+    as ``training.loss_remat`` and defaults to True.
     """
     w_enc, w_dec, b1, w_out, b_out = joint_params
     b, t, _ = enc.shape
@@ -266,7 +277,6 @@ def fused_grid_logprobs(enc: jax.Array, dec: jax.Array, joint_params,
                          constant_values=blank)
     dec_proj = dec.astype(compute_dtype) @ w_dec.astype(compute_dtype) + b1
 
-    @jax.checkpoint
     def chunk_fn(enc_chunk):
         h = enc_chunk.astype(compute_dtype) @ w_enc.astype(compute_dtype)
         h = jnp.tanh(h[:, :, None, :] + dec_proj[:, None, :, :])
@@ -278,7 +288,8 @@ def fused_grid_logprobs(enc: jax.Array, dec: jax.Array, joint_params,
             axis=-1)[..., 0] - lse
         return lp_b, lp_l
 
-    lp_b, lp_l = jax.lax.map(chunk_fn, enc_chunks)
+    lp_b, lp_l = jax.lax.map(jax.checkpoint(chunk_fn) if remat else chunk_fn,
+                             enc_chunks)
     lp_b = lp_b.swapaxes(0, 1).reshape(b, t + pad_t, u1)[:, :t]
     lp_l = lp_l.swapaxes(0, 1).reshape(b, t + pad_t, u1)[:, :t]
     return lp_b, lp_l
@@ -289,7 +300,8 @@ def rnnt_loss_fused(enc: jax.Array, dec: jax.Array, joint_params,
                     blank: int = 0, chunk_size: int = 32,
                     reduction: str = "mean",
                     compute_dtype=jnp.float32,
-                    use_pallas: Optional[bool] = None) -> jax.Array:
+                    use_pallas: Optional[bool] = None,
+                    remat: bool = True) -> jax.Array:
     """End-to-end training loss from encoder/label-encoder states.
 
     This is the path trainers use; it fuses the joint network into the loss
@@ -315,7 +327,8 @@ def rnnt_loss_fused(enc: jax.Array, dec: jax.Array, joint_params,
             compute_dtype=compute_dtype)
     else:
         lp_b, lp_l = fused_grid_logprobs(enc, dec, joint_params, labels,
-                                         blank, chunk_size, compute_dtype)
+                                         blank, chunk_size, compute_dtype,
+                                         remat)
     losses = rnnt_loss_grid(lp_b, lp_l, t_len, u_len)
     if reduction == "mean":
         return jnp.mean(losses)

@@ -41,6 +41,11 @@ class TrainStepConfig:
     mask_num: int = 10
     loss_chunk_size: int = 16
     compute_dtype: Any = jnp.float32
+    # False = let XLA save joint residuals instead of rematerializing the
+    # joint forward in the backward pass.  Measured slower at aishell shapes
+    # (HBM-bound; see fused_grid_logprobs docstring) — keep True unless the
+    # vocab/T are small enough that residuals stay cache-resident.
+    loss_remat: bool = True
 
 
 def make_loss_fn(model, cfg: TrainStepConfig) -> Callable:
@@ -76,7 +81,8 @@ def make_loss_fn(model, cfg: TrainStepConfig) -> Callable:
                                compute_dtype=cfg.compute_dtype,
                                reduction="mean",
                                use_pallas=(not train and
-                                           jax.default_backend() == "tpu"))
+                                           jax.default_backend() == "tpu"),
+                               remat=cfg.loss_remat)
     return loss_fn
 
 

@@ -119,8 +119,14 @@ class Trainer:
         # is unconditional in its collate path); explicit false disables it
         # (needed e.g. for memorization tests and very small corpora).
         sa = config.training.specaug
+        # training.loss_remat: None/absent -> True (recompute the joint in
+        # the backward pass; min memory, and measured FASTER at real shapes
+        # — see ops/rnnt_loss.fused_grid_logprobs).  Explicit false stores
+        # joint residuals instead; only sensible for small vocab/T.
+        lr_ = config.training.loss_remat
         self.step_cfg = TrainStepConfig(compute_dtype=compute_dtype,
-                                        specaug=True if sa is None else bool(sa))
+                                        specaug=True if sa is None else bool(sa),
+                                        loss_remat=True if lr_ is None else bool(lr_))
         self.train_step = compile_train_step(
             self.model, self.tx, self.mesh, self.params, self.opt_state,
             self.step_cfg)
