@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Batch-serving CLI: decode many wav files as concurrent streams.
+
+Beyond-reference surface (the reference serves one microphone stream,
+``audio/streamRec*.py``): N files ride one ``BatchedStreamingSession`` —
+each serving round runs ALL streams' encoder windows + greedy scans in one
+fused device program, and the drain scans up to 16 rounds per device call.
+Per-stream output is identical to a solo :class:`StreamingSession` fed the
+same audio (property-tested in ``tests/test_batched_streaming.py``).
+
+    python apps/serve.py --config configs/joint_streaming.yaml \
+        --checkpoint egs/.../epoch_N --wavs a.wav b.wav c.wav \
+        [--streams 8] [--rtf]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--wavs", nargs="+", required=True)
+    ap.add_argument("--streams", type=int, default=None,
+                    help="concurrent streams per device round "
+                    "(default: min(len(wavs), 8))")
+    ap.add_argument("--rtf", action="store_true",
+                    help="report aggregate x-realtime")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="KEY=VALUE", help="config override (dotted key)")
+    args = ap.parse_args()
+
+    import jax
+    from transformer_transducer_tpu.utils.config import load_config
+    from transformer_transducer_tpu.utils.vocab import Vocabulary
+    from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
+    from transformer_transducer_tpu.models.transducer import build_transducer
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+    from transformer_transducer_tpu.streaming.session import StreamingConfig
+    from transformer_transducer_tpu.data.wav import read_wave
+
+    cfg = load_config(args.config)
+    for kv in args.overrides:
+        key, value = kv.split("=", 1)
+        try:
+            import ast
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        cfg.override(key, value)
+    vocab = Vocabulary.from_file(cfg.data.vocab)
+    model = build_transducer(cfg.model)
+
+    rng = jax.random.PRNGKey(0)
+    d_in = (cfg.data.feature_dim or 128) * (
+        1 + (cfg.data.left_context_width or 0)
+        + (cfg.data.right_context_width or 0))
+    variables = model.init(rng, jnp.zeros((1, 8, d_in)),
+                           jnp.zeros((1, 4), jnp.int32))
+    params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint,
+                                            variables["params"])
+    variables = {"params": params}
+
+    n_streams = args.streams or min(len(args.wavs), 8)
+    scfg = StreamingConfig.from_config(cfg)
+    session = BatchedStreamingSession(model, variables, scfg, n_streams)
+
+    results = {}
+    total_audio_s = 0.0
+    t0 = time.perf_counter()
+    # fill slots with up to n_streams files at a time
+    for base in range(0, len(args.wavs), n_streams):
+        group = args.wavs[base:base + n_streams]
+        if base > 0:
+            session.reset()
+        for slot, path in enumerate(group):
+            wave, rate = read_wave(path)
+            total_audio_s += len(wave) / rate
+            session.accept_waveform(slot, wave)
+            session.finalize(slot)
+        for slot in range(len(group), n_streams):
+            session.finalize(slot)   # empty slots ride along as no-ops
+        tokens = session.run_to_completion()
+        for slot, path in enumerate(group):
+            results[path] = "".join(vocab.decode(tokens[slot]))
+    wall = time.perf_counter() - t0
+
+    for path in args.wavs:
+        print(f"{path}\t{results[path]}")
+    if args.rtf:
+        print(f"# aggregate: {total_audio_s:.1f}s audio in {wall:.2f}s "
+              f"= {total_audio_s / wall:.1f}x realtime "
+              f"({n_streams} streams/round)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

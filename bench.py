@@ -172,6 +172,76 @@ def bench_encode_mfu(batch=16, t=410, n_chain=16):
     return flops / best / PEAK_FLOPS
 
 
+def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
+    """ESPnet-family training step (configs/espnet_aishell.yaml shapes:
+    8-block encoder, 2-block text encoder, additive joint, vocab 4233),
+    scan-chained like bench_train_step."""
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    from transformer_transducer_tpu.training import optim as optim_lib
+    from transformer_transducer_tpu.training.train_step import (
+        TrainStepConfig, make_train_step)
+    from transformer_transducer_tpu.utils.config import Config, load_config
+
+    cfg = load_config("configs/espnet_aishell.yaml")
+    model = build_espnet_transducer(cfg.model, compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, t, 512))
+    y = jax.random.randint(jax.random.PRNGKey(1), (batch, u), 1, 4233)
+    t_len = jnp.full((batch,), t)
+    u_len = jnp.full((batch,), u)
+    batch_d = {"inputs": x, "targets": y,
+               "inputs_length": t_len, "targets_length": u_len}
+    params = model.init(rng, x[:1, :8], t_len[:1] * 0 + 8, y[:1, :4],
+                        u_len[:1] * 0 + 4)["params"]
+    tx = optim_lib.build_optimizer(
+        Config({"type": "sgd", "lr": 2.5e-4, "momentum": 0.9}), 200.0)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, TrainStepConfig(
+        compute_dtype=jnp.bfloat16, loss_chunk_size=16))
+
+    @jax.jit
+    def chain(p, o):
+        def body(carry, i):
+            p, o, m = step(carry[0], carry[1], batch_d,
+                           jax.random.fold_in(jax.random.PRNGKey(2), i))
+            return (p, o), m["loss"]
+        (p, o), losses = jax.lax.scan(body, (p, o), jnp.arange(n_chain))
+        return losses[-1]
+
+    _force(chain(params, opt_state))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(chain(params, opt_state))
+        best = min(best, (time.perf_counter() - t0) / n_chain)
+    return best * 1e3
+
+
+def bench_beam_rtf(batch=8, t=410, width=5):
+    """Encoder + width-5 batched beam search (the reference's beam decode,
+    ``tt/model.py:110-179``) on the aishell config."""
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.decoding.beam import beam_search_batched
+
+    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
+                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
+                       compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, t, 512))
+    variables = model.init(rng, x[:, :8], jnp.zeros((batch, 4), jnp.int32))
+    t_len = jnp.full((batch,), t)
+
+    @jax.jit
+    def run(x, t_len):
+        enc = model.apply(variables, x, None, method=Transducer.encode)
+        return beam_search_batched(model, variables, enc, t_len,
+                                   beam_width=width)
+
+    dt = _timeit(run, x, t_len, iters=3)
+    return batch * t * FRAME_SECONDS / dt
+
+
 def bench_rnnt_loss(batch=4, t=410, u=42, v=4334):
     """Fused joint+lattice fwd+bwd from encoder/decoder states."""
     from transformer_transducer_tpu.ops.rnnt_loss import rnnt_loss_fused
@@ -335,6 +405,8 @@ def main():
     rtf = bench_offline_rtf()
     step_ms = bench_train_step()
     step_ms32 = bench_train_step(batch=32)
+    esp_step_ms = bench_train_step_espnet()
+    beam_rtf = bench_beam_rtf()
     loss_ms = bench_rnnt_loss()
     enc_mfu = bench_encode_mfu()
     stream_rtf, stream_lat_ms = bench_streaming_rtf()
@@ -347,6 +419,8 @@ def main():
     print(json.dumps({
         "train_step_ms_aishell_b4": round(step_ms, 2),
         "train_step_ms_aishell_b32": round(step_ms32, 2),
+        "train_step_ms_espnet_b4": round(esp_step_ms, 2),
+        "beam5_x_realtime_b8": round(beam_rtf, 2),
         "mfu_train_step_b4": round(train_mfu(4, step_ms), 4),
         "mfu_train_step_b32": round(train_mfu(32, step_ms32), 4),
         "mfu_offline_encode_b16": round(enc_mfu, 4),

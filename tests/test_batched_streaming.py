@@ -69,3 +69,26 @@ def test_batched_incremental_feeding():
     # segments partition results
     for st in batched.streams:
         assert sum(st.segments, []) == st.result
+
+
+def test_stacked_drain_matches_round_by_round():
+    """run_to_completion (R rounds scanned in one device program) equals
+    repeated process() calls (one device call per round) exactly."""
+    model, variables = _model(seed=5)
+    wavs = [_wav(11, 13000), _wav(12, 16000), _wav(13, 9000)]
+
+    def feed(session):
+        for i, wav in enumerate(wavs):
+            session.accept_waveform(i, wav)
+            session.finalize(i)
+
+    by_round = BatchedStreamingSession(model, variables, _cfg(), n_streams=3)
+    feed(by_round)
+    while any(by_round.process()):
+        pass
+    stacked = BatchedStreamingSession(model, variables, _cfg(), n_streams=3)
+    feed(stacked)
+    results = stacked.run_to_completion()
+    assert results == [st.result for st in by_round.streams]
+    assert [st.segments for st in stacked.streams] == \
+        [st.segments for st in by_round.streams]
