@@ -37,6 +37,9 @@ def main():
     parser.add_argument("--augment", action="store_true",
                         help="enable waveform augmentation chain")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler (TensorBoard/xprof) "
+                        "trace of the first trained epoch to DIR")
     parser.add_argument("--steps-per-call", type=int, default=None,
                         help="scan K optimizer updates inside one device "
                         "program (amortizes per-call dispatch latency; "
@@ -66,7 +69,8 @@ def main():
                       remat=args.remat, flash=args.flash, banded=args.banded)
     trainer.logger.info("JAX backend: %s, devices: %s", jax.default_backend(),
                         jax.devices())
-    trainer.fit(epochs=args.epochs, augment=args.augment)
+    trainer.fit(epochs=args.epochs, augment=args.augment,
+                profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -309,12 +309,32 @@ class Trainer:
                                  extra={"lr": self.lr_ctl.lr})
         self.logger.info("Epoch %d checkpoint saved to %s", epoch, path)
 
+    def profile_epoch(self, epoch: int, loader, trace_dir: str) -> float:
+        """One training epoch under ``jax.profiler.trace`` — writes a
+        TensorBoard/XPlane trace (xprof) of the steps to ``trace_dir``.
+        Beyond-reference observability (the reference logs wall-clock only,
+        ``train.py:78-84``); some remote-backend relays cannot capture
+        device traces, so failure degrades to an un-profiled epoch."""
+        try:
+            with jax.profiler.trace(trace_dir):
+                avg = self.train_epoch(epoch, loader)
+            self.logger.info("profiler trace written to %s", trace_dir)
+            return avg
+        except Exception as e:  # relay/backend without profiler support
+            self.logger.warning("profiling failed (%s); continuing without",
+                                e)
+            return self.train_epoch(epoch, loader)
+
     def fit(self, epochs: Optional[int] = None, augment: bool = False,
-            eval_batches: Optional[int] = None):
+            eval_batches: Optional[int] = None,
+            profile_dir: Optional[str] = None):
         epochs = epochs or self.config.training.epochs
         train_loader, dev_loader = self.make_loaders(augment=augment)
         for epoch in range(self.start_epoch, epochs):
-            self.train_epoch(epoch, train_loader)
+            if profile_dir and epoch == self.start_epoch:
+                self.profile_epoch(epoch, train_loader, profile_dir)
+            else:
+                self.train_epoch(epoch, train_loader)
             self.save(epoch)
             if self.config.training.eval_or_not:
                 self.evaluate(epoch, dev_loader, max_batches=eval_batches)
