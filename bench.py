@@ -242,8 +242,9 @@ def bench_beam_rtf(batch=8, t=410, width=5):
     return batch * t * FRAME_SECONDS / dt
 
 
-def bench_rnnt_loss(batch=4, t=410, u=42, v=4334):
-    """Fused joint+lattice fwd+bwd from encoder/decoder states."""
+def bench_rnnt_loss(batch=4, t=410, u=42, v=4334, n_chain=8):
+    """Fused joint+lattice fwd+bwd from encoder/decoder states,
+    scan-chained so the number is chip time rather than relay dispatch."""
     from transformer_transducer_tpu.ops.rnnt_loss import rnnt_loss_fused
 
     rng = jax.random.PRNGKey(0)
@@ -257,14 +258,24 @@ def bench_rnnt_loss(batch=4, t=410, u=42, v=4334):
     t_len = jnp.full((batch,), t)
     u_len = jnp.full((batch,), u)
 
-    @jax.jit
-    def fwd_bwd(enc, dec):
-        return jax.grad(lambda e, d_: rnnt_loss_fused(
-            e, d_, jp, y, t_len, u_len, chunk_size=64,
-            compute_dtype=jnp.bfloat16))(enc, dec)[0].sum()
+    grad_fn = jax.grad(lambda e, d_: rnnt_loss_fused(
+        e, d_, jp, y, t_len, u_len, chunk_size=16,
+        compute_dtype=jnp.bfloat16))
 
-    dt = _timeit(fwd_bwd, enc, dec, iters=5)
-    return dt * 1e3
+    @jax.jit
+    def chain(enc):
+        def body(c, _):
+            return c + grad_fn(c, dec) * 1e-3, None
+        out, _ = jax.lax.scan(body, enc, None, length=n_chain)
+        return jnp.sum(out)
+
+    _force(chain(enc))  # compile
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(chain(enc))
+        best = min(best, (time.perf_counter() - t0) / n_chain)
+    return best * 1e3
 
 
 def bench_streaming_rtf(seconds=30):

@@ -191,3 +191,21 @@ def test_feature_dump_and_cmvn(tmp_path):
     out = cm("utt", any_feats)
     np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-5)
     np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)
+
+
+def test_short_first_orders_train_rows(tmp_path):
+    """data.short_first sorts train rows by label length ascending — the
+    reference declares the flag but left it a commented TODO
+    (``tt/dataset.py:78-82``); here it works (train split only)."""
+    wavs = [_wav(tmp_path / f"s{i}.wav", seed=i) for i in range(3)]
+    csv_path = str(tmp_path / "sf.csv")
+    prep.write_manifest(list(zip(wavs, ["abba", "a", "ab"])), csv_path)
+    vocab = Vocabulary.from_symbols(["a", "b"])
+    cfg = Config({"train": csv_path, "dev": csv_path, "feature_dim": 8,
+                  "max_input_length": 16, "max_target_length": 6,
+                  "short_first": True})
+    ds = AudioDataset(cfg, "train", vocab)
+    assert [len(r[1]) for r in ds.rows] == [1, 2, 4]
+    # non-train splits keep manifest order
+    dev = AudioDataset(cfg, "dev", vocab)
+    assert [len(r[1]) for r in dev.rows] == [4, 1, 2]

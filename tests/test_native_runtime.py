@@ -53,3 +53,32 @@ def test_metrics_uses_native_when_built(lib):
     metrics._NATIVE = False  # force re-probe
     assert metrics.levenshtein([1, 2, 3], [1, 3]) == 1
     assert metrics.levenshtein([1, 2, 3], [4, 5, 6]) == 3
+
+
+def test_native_logmel_matches_numpy(lib):
+    from transformer_transducer_tpu.ops import features_np as F
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(16000) * 3000).astype(np.int16)
+    mel = F.mel_filterbank(16000, 512, 32)
+    for variant, ref_fn in [("masked", F.logmel_masked), ("eps", F.logmel_eps)]:
+        got = lib.logmel(wav, mel, 512, 160, variant)
+        assert got is not None
+        ref = ref_fn(wav, 16000, 32)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_native_features_env_routing(lib, monkeypatch):
+    """TTX_NATIVE_FEATURES=1 routes logmel_* through the C++ featurizer;
+    the output must agree with the numpy path it replaces."""
+    from transformer_transducer_tpu.ops import features_np as F
+    rng = np.random.RandomState(8)
+    wav = (rng.randn(12000) * 2000).astype(np.int16)
+    ref = F.logmel_eps(wav, 16000, 16)
+    monkeypatch.setenv("TTX_NATIVE_FEATURES", "1")
+    got = F.logmel_eps(wav, 16000, 16)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # float input falls back to numpy identically
+    ref_f = F.logmel_masked(wav.astype(np.float32), 16000, 16)
+    np.testing.assert_array_equal(ref_f, F.logmel_masked(
+        wav.astype(np.float32), 16000, 16))

@@ -76,6 +76,13 @@ class AudioDataset:
         self.augment = augment
         self.rng = np.random.default_rng(seed)
         self.cmvn = cmvn
+        # data.short_first: train on short utterances first (curriculum).
+        # The reference declares the flag but its implementation is a
+        # commented-out TODO (``tt/dataset.py:78-82``); here it works:
+        # rows sorted by label length ascending.  Pair with shuffle=False
+        # (a shuffling loader destroys the ordering).
+        if data_cfg.short_first and split == "train":
+            self.rows.sort(key=lambda r: len(r[1]))
 
     def __len__(self) -> int:
         return len(self.rows)

@@ -115,11 +115,37 @@ def melspectrogram(wave: np.ndarray, sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
     return (pspec @ _cached_mel(sr, n_fft, n_mels).T).astype(np.float32)
 
 
+def _native_logmel(wave: np.ndarray, sr: int, n_mels: int, variant: str):
+    """C++ frame-parallel featurizer (csrc ``ttx_logmel``) when enabled via
+    ``TTX_NATIVE_FEATURES=1`` and the wav is int16 (the pipeline input
+    dtype).  Numerically equivalent to the numpy path within fp tolerance
+    (parity-tested); returns None to fall back.
+
+    Off by default deliberately: the win is GIL-free OpenMP frame
+    parallelism inside loader threads, which needs a multi-core host —
+    on a single-core box numpy's SIMD pocketfft/BLAS path is ~3x faster
+    (measured), so only enable this where cores outnumber loader threads."""
+    import os
+    if os.environ.get("TTX_NATIVE_FEATURES") != "1":
+        return None
+    if not isinstance(wave, np.ndarray) or wave.dtype != np.int16:
+        return None
+    from transformer_transducer_tpu.runtime.native import library_or_none
+    lib = library_or_none()
+    if lib is None:
+        return None
+    return lib.logmel(wave, _cached_mel(sr, N_FFT, n_mels), N_FFT,
+                      HOP_LENGTH, variant)
+
+
 def logmel_masked(wave: np.ndarray, sr: int = SAMPLE_RATE, n_mels: int = N_MELS) -> np.ndarray:
     """Natural-log mel with non-positive bins set to 0.
 
     Twin of the reference ``get_feature`` (``tt/utils.py:180-191``).
     """
+    native = _native_logmel(wave, sr, n_mels, "masked")
+    if native is not None:
+        return native
     mel = melspectrogram(wave.astype(np.float32), sr, n_mels=n_mels)
     out = np.zeros_like(mel)
     positive = mel > 0
@@ -132,6 +158,9 @@ def logmel_eps(wave: np.ndarray, sr: int = SAMPLE_RATE, n_mels: int = N_MELS) ->
 
     Twin of the reference ``get_feature2`` (``tt/utils.py:194-205``).
     """
+    native = _native_logmel(wave, sr, n_mels, "eps")
+    if native is not None:
+        return native
     mel = melspectrogram(wave.astype(np.float32), sr, n_mels=n_mels)
     mel = np.where(mel == 0, np.finfo(np.float64).eps, mel)
     return np.log10(mel).astype(np.float32)

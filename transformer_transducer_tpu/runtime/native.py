@@ -43,6 +43,14 @@ class _Native:
         lib.ttx_parse_wav.restype = ctypes.c_int64
         lib.ttx_parse_wav.argtypes = [u8p, ctypes.c_int64, i16p,
                                       ctypes.c_int64, i32p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        self._has_logmel = hasattr(lib, "ttx_logmel")
+        if self._has_logmel:  # older prebuilt .so without the featurizer
+            lib.ttx_logmel.restype = ctypes.c_int64
+            lib.ttx_logmel.argtypes = [i16p, ctypes.c_int64, f32p,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       f32p, ctypes.c_int64]
 
     def levenshtein(self, a: np.ndarray, b: np.ndarray) -> int:
         a = np.ascontiguousarray(a, dtype=np.int32)
@@ -70,6 +78,28 @@ class _Native:
             len(preds), ctypes.byref(total))
         return int(dist), int(total.value)
 
+    def logmel(self, wav: np.ndarray, mel: np.ndarray, n_fft: int = 512,
+               hop: int = 160, variant: str = "masked"):
+        """int16 wav + (n_mels, n_fft//2+1) f32 filterbank -> (frames, n_mels)
+        f32 log-mel, frame-parallel in C++ (no GIL).  None if the loaded
+        library predates the featurizer or the call fails."""
+        if not getattr(self, "_has_logmel", False):
+            return None
+        wav = np.ascontiguousarray(wav, dtype=np.int16)
+        mel = np.ascontiguousarray(mel, dtype=np.float32)
+        n_mels = mel.shape[0]
+        out = np.empty((1 + len(wav) // hop, n_mels), dtype=np.float32)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        n = self._lib.ttx_logmel(
+            wav.ctypes.data_as(i16p), len(wav),
+            mel.ctypes.data_as(f32p), n_mels, n_fft, hop,
+            0 if variant == "masked" else 1,
+            out.ctypes.data_as(f32p), out.size)
+        if n < 0:
+            return None
+        return out[:n]
+
     def parse_wav(self, raw: bytes):
         """RIFF/PCM16 bytes -> (int16 mono samples, rate) or None on error."""
         buf = np.frombuffer(raw, dtype=np.uint8)
@@ -90,7 +120,9 @@ def build(force: bool = False) -> bool:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     csrc = os.path.join(here, "csrc")
     so = os.path.join(csrc, "libttx_runtime.so")
-    if os.path.exists(so) and not force:
+    src = os.path.join(csrc, "ttx_runtime.cc")
+    if (os.path.exists(so) and not force
+            and os.path.getmtime(so) >= os.path.getmtime(src)):
         return True
     try:
         subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
