@@ -45,7 +45,11 @@ class _StreamState:
 class BatchedStreamingSession:
     def __init__(self, model, variables, cfg: StreamingConfig, n_streams: int):
         self.model = model
-        self.variables = variables
+        # device-put once; jitted programs take the parameters as an ARGUMENT
+        # (closed-over arrays would be baked into the serialized HLO as
+        # literal constants — ~500 MB for the flagship — and overflow the
+        # remote-compile relay's request limit)
+        self.variables = jax.device_put(variables)
         self.cfg = cfg
         self.n = n_streams
         self._d = cfg.feature_dim * (1 + cfg.stack_left)
@@ -78,18 +82,18 @@ class BatchedStreamingSession:
         length = cfg.window_len
         left, right = cfg.left_context, cfg.right_context
 
-        def predict_last(buf, count):
-            dec = self.model.apply(self.variables, buf, lmask, method="predict")
+        def predict_last(variables, buf, count):
+            dec = self.model.apply(variables, buf, lmask, method="predict")
             idx = (count - 1)[:, None, None].astype(jnp.int32)
             return jnp.take_along_axis(
                 dec, idx.repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
 
-        def round_body(state, xs):
+        def round_body(variables, state, xs):
             """One serving round: encode all N streams' windows + greedy scan.
             ``xs = (windows (N, L, D), left_frames (N,), n_effs (N,))``."""
             windows, left_frames, n_effs = xs
             amask = context_mask(length, left, right)
-            enc = self.model.apply(self.variables, windows, amask,
+            enc = self.model.apply(variables, windows, amask,
                                    method="encode")           # (N, L, D)
             enc_pad = jnp.pad(enc, ((0, 0), (0, length), (0, 0)))
             enc_eff = jax.vmap(
@@ -99,7 +103,7 @@ class BatchedStreamingSession:
             def step(state, t):
                 buf, count, dec_state, blank_run, emitted_any = state
                 enc_t = jax.lax.dynamic_slice_in_dim(enc_eff, t, 1, axis=1)[:, 0]
-                logits = self.model.apply(self.variables, enc_t, dec_state,
+                logits = self.model.apply(variables, enc_t, dec_state,
                                           method="joint_logits")   # (N, V)
                 pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 valid = (t < n_effs) & (pred != 0)
@@ -116,7 +120,8 @@ class BatchedStreamingSession:
                 dec_state = jax.lax.cond(
                     valid.any(),
                     lambda: jnp.where(valid[:, None],
-                                      predict_last(new_buf, new_count),
+                                      predict_last(variables, new_buf,
+                                                   new_count),
                                       dec_state),
                     lambda: dec_state)
                 had = emitted_any > 0
@@ -128,21 +133,23 @@ class BatchedStreamingSession:
             return jax.lax.scan(step, state, jnp.arange(length))
 
         @jax.jit
-        def batched_decode(windows, left_frames, n_effs, buf, count, dec_state,
-                           blank_run, emitted_any):
+        def batched_decode(variables, windows, left_frames, n_effs, buf,
+                           count, dec_state, blank_run, emitted_any):
             """One round (the incremental ``process()`` path)."""
             state, (toks, splits) = round_body(
-                (buf, count, dec_state, blank_run, emitted_any),
+                variables, (buf, count, dec_state, blank_run, emitted_any),
                 (windows, left_frames, n_effs))
             return (*state, toks, splits)
 
         @jax.jit
-        def batched_decode_rounds(windows, left_frames, n_effs, buf, count,
-                                  dec_state, blank_run, emitted_any):
+        def batched_decode_rounds(variables, windows, left_frames, n_effs,
+                                  buf, count, dec_state, blank_run,
+                                  emitted_any):
             """R stacked rounds in ONE device program (the drain path):
             ``windows (R, N, L, D)``; outputs ``toks/splits (R, L, N)``."""
             state, (toks, splits) = jax.lax.scan(
-                round_body, (buf, count, dec_state, blank_run, emitted_any),
+                lambda st, xs: round_body(variables, st, xs),
+                (buf, count, dec_state, blank_run, emitted_any),
                 (windows, left_frames, n_effs))
             return (*state, toks, splits)
 
@@ -249,14 +256,15 @@ class BatchedStreamingSession:
         windows, left_frames, n_effs = ready
         (self._buf, self._count, self._dec_state, self._blank_run,
          self._emitted_any, toks, splits) = self._decode(
-            jnp.asarray(windows), jnp.asarray(left_frames), jnp.asarray(n_effs),
-            self._buf, self._count, self._ensure_dec(), self._blank_run,
-            self._emitted_any)
+            self.variables, jnp.asarray(windows), jnp.asarray(left_frames),
+            jnp.asarray(n_effs), self._buf, self._count, self._ensure_dec(),
+            self._blank_run, self._emitted_any)
         return self._emit_round(np.asarray(toks), np.asarray(splits), n_effs)
 
     def _ensure_dec(self):
         if self._dec_state is None:
-            self._dec_state = self._predict_last(self._buf, self._count)
+            self._dec_state = self._predict_last(
+                self.variables, self._buf, self._count)
         return self._dec_state
 
     def run_to_completion(self, max_rounds: int = 10000) -> List[List[int]]:
@@ -285,7 +293,7 @@ class BatchedStreamingSession:
                 windows[j], left_frames[j], n_effs[j] = w, lf, ne
             (self._buf, self._count, self._dec_state, self._blank_run,
              self._emitted_any, toks, splits) = self._decode_rounds(
-                jnp.asarray(windows), jnp.asarray(left_frames),
+                self.variables, jnp.asarray(windows), jnp.asarray(left_frames),
                 jnp.asarray(n_effs), self._buf, self._count,
                 self._ensure_dec(), self._blank_run, self._emitted_any)
             toks = np.asarray(toks)      # (R, L, N) — one host transfer
