@@ -22,6 +22,7 @@ Label-encoder caching uses the causal mask (see ``decoding/greedy.py``).
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import jax
@@ -38,7 +39,20 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
                         t_len: jax.Array, beam_width: int = 5,
                         max_tokens: int = 43, blank: int = 0):
     """Beam search over a batch.  Returns (tokens (B, W, U), counts (B, W),
-    probs (B, W)) sorted best-first."""
+    probs (B, W)) sorted best-first.
+
+    Jit boundary: ``_beam_run`` is module-level with the (hashable) model as
+    a static argument, so the compiled program is cached across calls and the
+    parameters stay jit ARGUMENTS — a closure would bake them into the
+    serialized HLO as literal constants (hundreds of MB at flagship size).
+    """
+    return _beam_run(model, variables, enc_states, t_len,
+                     beam_width, max_tokens, blank)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _beam_run(model: Transducer, variables, enc_states: jax.Array,
+              t_len: jax.Array, beam_width: int, max_tokens: int, blank: int):
     b, t_max, _ = enc_states.shape
     w = beam_width
     label_mask = look_ahead_mask(max_tokens)
@@ -115,26 +129,21 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
         first = jnp.where(expand, False, first)
         return (beams, counts, probs, first, dec, expand.any()), None
 
-    @jax.jit
-    def run(t_len_arg):
-        del t_len_arg  # step closes over t_len; arg kept for cache keying
-        beams0 = jnp.full((b, w, max_tokens), blank, jnp.int32)
-        counts0 = jnp.ones((b, w), jnp.int32)
-        probs0 = jnp.zeros((b, w), jnp.float32)
-        first0 = jnp.ones((b,), bool)
-        dec0 = compute_dec(beams0, counts0)
-        (beams, counts, probs, _, _, _), _ = jax.lax.scan(
-            step, (beams0, counts0, probs0, first0, dec0,
-                   jnp.asarray(False)), jnp.arange(t_max))
+    beams0 = jnp.full((b, w, max_tokens), blank, jnp.int32)
+    counts0 = jnp.ones((b, w), jnp.int32)
+    probs0 = jnp.zeros((b, w), jnp.float32)
+    first0 = jnp.ones((b,), bool)
+    dec0 = compute_dec(beams0, counts0)
+    (beams, counts, probs, _, _, _), _ = jax.lax.scan(
+        step, (beams0, counts0, probs0, first0, dec0,
+               jnp.asarray(False)), jnp.arange(t_max))
 
-        order = jnp.argsort(-probs, axis=1)
-        beams = jnp.take_along_axis(beams,
-                                    order[:, :, None].repeat(max_tokens, 2), 1)
-        counts = jnp.take_along_axis(counts, order, 1)
-        probs = jnp.take_along_axis(probs, order, 1)
-        return beams, counts, probs
-
-    return run(t_len)
+    order = jnp.argsort(-probs, axis=1)
+    beams = jnp.take_along_axis(beams,
+                                order[:, :, None].repeat(max_tokens, 2), 1)
+    counts = jnp.take_along_axis(counts, order, 1)
+    probs = jnp.take_along_axis(probs, order, 1)
+    return beams, counts, probs
 
 
 def beam_search(model: Transducer, variables, enc_states_b: np.ndarray,

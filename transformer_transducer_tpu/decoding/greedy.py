@@ -158,13 +158,17 @@ def recognize(model: Transducer, variables, inputs: jax.Array,
               t_len: jax.Array, audio_mask=None, max_tokens: int = 43,
               jit: bool = True) -> List[List[int]]:
     """Full offline recognition: encoder (no mask by default, as in the
-    reference eval path ``tt/model.py:92-108``) + batched greedy decode."""
-    def run(inputs, t_len):
+    reference eval path ``tt/model.py:92-108``) + batched greedy decode.
+
+    The parameters are a jit ARGUMENT (closed-over arrays would be baked
+    into the serialized HLO as literal constants — hundreds of MB at
+    flagship size, over the remote-compile request limit)."""
+    def run(variables, inputs, t_len):
         enc = model.apply(variables, inputs, audio_mask, method="encode")
         return greedy_decode(model, variables, enc, t_len, max_tokens)
 
     fn = jax.jit(run) if jit else run
-    tokens, counts = fn(inputs, t_len)
+    tokens, counts = fn(variables, inputs, t_len)
     return tokens_to_lists(np.asarray(tokens), np.asarray(counts))
 
 
