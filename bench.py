@@ -26,7 +26,7 @@ PEAK_FLOPS = float(__import__("os").environ.get("TTX_PEAK_FLOPS", 197e12))
 
 
 def transducer_flops(b, t, u1, v, d=512, inner=1024, n_enc=4, n_dec=1,
-                     d_ffn=1024):
+                     d_ffn=1024, include_joint=True):
     """Analytic FORWARD FLOPs of the transducer at aishell-config shapes
     (multiply-add = 2 FLOPs).  The joint's ``inner x V`` matmul over every
     (t, u) lattice cell dominates (~90 % at these shapes).  The fused loss
@@ -43,6 +43,8 @@ def transducer_flops(b, t, u1, v, d=512, inner=1024, n_enc=4, n_dec=1,
 
     enc = b * n_enc * layer(t)
     dec = b * n_dec * layer(u1)
+    if not include_joint:   # encoder-only benches must not credit the
+        return enc + dec    # joint's enc-projection they never run
     joint = 2 * b * (t * d * inner + u1 * d * inner + t * u1 * inner * v)
     return enc + dec + joint
 
@@ -168,7 +170,7 @@ def bench_encode_mfu(batch=16, t=410, n_chain=16):
         t0 = time.perf_counter()
         _force(chain(x))
         best = min(best, (time.perf_counter() - t0) / n_chain)
-    flops = transducer_flops(batch, t, 0, 0)  # encoder term only
+    flops = transducer_flops(batch, t, 0, 0, include_joint=False)
     return flops / best / PEAK_FLOPS
 
 

@@ -228,3 +228,97 @@ def test_conv2d_encoder_end_to_end():
     # espnet slicing semantics: positions 0,4,8,12,16 survive both conv
     # slices and all are < 18, so BOTH rows keep 5 valid frames
     np.testing.assert_array_equal(np.asarray(olens), [5, 5])
+
+
+def test_conv2d_loss_uses_subsampled_lengths():
+    """Regression: with ``input_layer: conv2d`` the encoder output is ~T/4
+    frames, and the training loss must use the conv-subsampled lengths (the
+    raw input lengths would run the lattice off the encoder output).  Oracle:
+    the full-logits loss over the encoder output at the MAPPED length.
+
+    (Exact padding-invariance does NOT hold here by espnet's own semantics:
+    growing T adds retained subsample positions whose receptive field mixes
+    padding — the mask-slicing arithmetic is input-T-dependent.)"""
+    from transformer_transducer_tpu.training.train_step import (
+        TrainStepConfig, make_loss_fn)
+
+    cfg = Config({
+        "enc": {"input_size": 16, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "conv2d", "padding_idx": -1},
+        "dec": {"input_size": 11, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "embed", "padding_idx": -1},
+        "joint": {"vocab_size": 11, "encoder_output_size": 16,
+                  "decoder_output_size": 16, "joint_space_size": 12,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": -1, "encoder_right_mask": -1,
+                 "decoder_left_mask": 2},
+    })
+    model = build_espnet_transducer(cfg)
+    rng = np.random.RandomState(5)
+    t_in = 23
+    speech = rng.randn(1, t_in, 16).astype(np.float32)
+    text = rng.randint(1, 10, size=(1, 3))
+    s_len = jnp.asarray([t_in])
+    t_len = jnp.asarray([3])
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(speech), s_len,
+                           jnp.asarray(text), t_len)
+    # mapped length must match the conv arithmetic ((23-2)//2 -> (10-2)//2)
+    np.testing.assert_array_equal(
+        np.asarray(model.encoded_lengths(s_len, t_in)), [5])
+
+    loss_fn = make_loss_fn(model, TrainStepConfig(specaug=False))
+    key = jax.random.PRNGKey(1)
+    batch = {"inputs": jnp.asarray(speech), "targets": jnp.asarray(text),
+             "inputs_length": s_len, "targets_length": t_len}
+    got = float(loss_fn(variables["params"], batch, key, train=False))
+
+    import transformer_transducer_tpu.ops.rnnt_loss as rl
+    enc, dec = model.apply(variables, jnp.asarray(speech), s_len,
+                           jnp.asarray(text), t_len,
+                           method=EspnetTransducer.encode_both)
+    logits = model.apply(variables, enc, dec, method="joint_logits")
+    oracle = float(rl.rnnt_loss(logits, jnp.asarray(text),
+                                model.encoded_lengths(s_len, t_in), t_len,
+                                reduction="mean"))
+    np.testing.assert_allclose(got, oracle, rtol=2e-3)
+    assert np.isfinite(got)
+
+
+def test_conv2d_eval_decode_uses_subsampled_lengths():
+    """The eval decode path must greedy-decode over encoder-output frames,
+    not raw input frames (counts can never exceed 1 + encoder frames)."""
+    cfg = Config({
+        "enc": {"input_size": 16, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "conv2d", "padding_idx": -1},
+        "dec": {"input_size": 11, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "embed", "padding_idx": -1},
+        "joint": {"vocab_size": 11, "encoder_output_size": 16,
+                  "decoder_output_size": 16, "joint_space_size": 12,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": -1, "encoder_right_mask": -1,
+                 "decoder_left_mask": 2},
+    })
+    from transformer_transducer_tpu.decoding.greedy import greedy_decode
+    model = build_espnet_transducer(cfg)
+    rng = np.random.RandomState(6)
+    t_in = 23
+    speech = jnp.asarray(rng.randn(1, t_in, 16).astype(np.float32))
+    s_len = jnp.asarray([t_in])
+    text = jnp.asarray(rng.randint(1, 10, size=(1, 3)))
+    variables = model.init(jax.random.PRNGKey(0), speech, s_len, text,
+                           jnp.asarray([3]))
+    enc = model.apply(variables, speech, s_len, method="encode")
+    mapped = model.encoded_lengths(s_len, t_in)
+    assert enc.shape[1] == 5
+    tokens, counts = greedy_decode(model, variables, enc, mapped,
+                                   max_tokens=8,
+                                   seed_token=model.vocab_size - 1)
+    assert int(counts[0]) <= 1 + int(mapped[0])

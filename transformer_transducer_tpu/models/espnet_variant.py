@@ -358,6 +358,18 @@ class EspnetTransducer(nn.Module):
                               deterministic=deterministic)
         return enc
 
+    def encoded_lengths(self, lengths, t_in: int):
+        """Input-frame lengths -> encoder-OUTPUT lengths (pure shape
+        arithmetic, callable without ``apply``).  Identity unless the
+        encoder has a conv-subsampling input layer, in which case the output
+        is 4-8x shorter than the input and every consumer of encoder frames
+        (RNN-T loss t_len, greedy/beam decode) MUST use the mapped value —
+        raw input lengths would index past the valid frames."""
+        il = dict(self.enc_kwargs).get("input_layer")
+        if il in _CONV_STACKS:
+            return conv_subsampled_length(lengths, il, t_in)
+        return lengths
+
     def predict(self, tokens, attn_mask=None, deterministic: bool = True):
         """Label-encoder over a token buffer (band left=decoder_left_mask,
         right=0), matching ``forward_one_step``

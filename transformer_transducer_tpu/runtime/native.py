@@ -121,9 +121,12 @@ def build(force: bool = False) -> bool:
     csrc = os.path.join(here, "csrc")
     so = os.path.join(csrc, "libttx_runtime.so")
     src = os.path.join(csrc, "ttx_runtime.cc")
-    if (os.path.exists(so) and not force
-            and os.path.getmtime(so) >= os.path.getmtime(src)):
-        return True
+    if os.path.exists(so) and not force:
+        # rebuild only when the source is present AND newer than the .so;
+        # a prebuilt artifact without csrc/ttx_runtime.cc is fine as-is
+        if not os.path.exists(src) \
+                or os.path.getmtime(so) >= os.path.getmtime(src):
+            return True
     try:
         subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
         return os.path.exists(so)

@@ -276,15 +276,20 @@ class BatchedStreamingSession:
         ``process()`` (tested), at a fraction of the dispatch cost.
         """
         assert all(st.finished for st in self.streams), "finalize() all streams"
-        rounds = []
-        for _ in range(max_rounds):
-            ready = self._gather_round()
-            if ready is None:
-                break
-            rounds.append(ready)
         max_bucket = self.ROUND_BUCKETS[-1]
-        for base in range(0, len(rounds), max_bucket):
-            group = rounds[base:base + max_bucket]
+        budget = max_rounds
+        while budget > 0:
+            # gather at most one bucket of rounds before decoding it, so
+            # host memory stays O(bucket x N windows), not O(total audio)
+            group = []
+            while len(group) < min(max_bucket, budget):
+                ready = self._gather_round()
+                if ready is None:
+                    break
+                group.append(ready)
+            if not group:
+                break
+            budget -= len(group)
             r = next(b for b in self.ROUND_BUCKETS if b >= len(group))
             windows = np.zeros((r,) + group[0][0].shape, np.float32)
             left_frames = np.zeros((r, self.n), np.int32)
@@ -300,4 +305,6 @@ class BatchedStreamingSession:
             splits = np.asarray(splits)
             for j in range(len(group)):
                 self._emit_round(toks[j], splits[j], n_effs[j])
+            if len(group) < max_bucket:
+                break
         return [st.result for st in self.streams]

@@ -358,10 +358,12 @@ class StreamingSession:
 
     def _process_feature_windows(self, last_clip: bool) -> List[int]:
         cfg = self.cfg
-        # gather ALL ready windows first (their geometry is pure host-side
-        # shape arithmetic), then decode them in as few device calls as the
-        # bucket table allows
+        # gather ready windows (their geometry is pure host-side shape
+        # arithmetic), decoding every full bucket as it fills so host
+        # memory stays O(bucket), not O(audio length)
+        emitted: List[int] = []
         ready = []
+        max_bucket = self.WINDOW_BUCKETS[-1]
         while True:
             total = self.subsampled.shape[0]
             future = total - self.win_feature_position
@@ -378,7 +380,10 @@ class StreamingSession:
                 break
             ready.append((window, left_frame, n_eff))
             self.win_feature_position += n_eff
-        return self._decode_windows(ready)
+            if len(ready) == max_bucket:
+                emitted += self._decode_windows(ready)
+                ready = []
+        return emitted + self._decode_windows(ready)
 
     def _decode_window(self, window: np.ndarray, left_frame: int,
                        n_eff: int) -> List[int]:

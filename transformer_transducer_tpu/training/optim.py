@@ -40,14 +40,19 @@ def build_optimizer(config, max_grad_norm: Optional[float] = None) -> optax.Grad
     lr = config.lr
     if getattr(config, "schedule", None) == "step_decay":
         import functools
+
+        def knob(value, default):
+            # `or` would turn an EXPLICIT 0 into the default — a silent
+            # hyperparameter override (e.g. warmup_steps: 0 to disable)
+            return default if value is None else value
         lr = functools.partial(
             step_decay_schedule,
-            warmup_steps=config.warmup_steps or 4e3,
-            hold_steps=config.hold_steps or 3e4,
-            final_step=config.final_step or 2.3e5,
-            init_lr=config.init_lr or 1e-6,
+            warmup_steps=knob(config.warmup_steps, 4e3),
+            hold_steps=knob(config.hold_steps, 3e4),
+            final_step=knob(config.final_step, 2.3e5),
+            init_lr=knob(config.init_lr, 1e-6),
             max_lr=config.lr,
-            min_lr=config.min_lr or 2.5e-6)
+            min_lr=knob(config.min_lr, 2.5e-6))
     if kind == "adam":
         tx = optax.inject_hyperparams(_adam, static_args=("weight_decay",))(
             learning_rate=lr, weight_decay=wd)

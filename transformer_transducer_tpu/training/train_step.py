@@ -72,11 +72,17 @@ def make_loss_fn(model, cfg: TrainStepConfig) -> Callable:
             enc, dec = model.apply({"params": params}, inputs,
                                    batch["targets"], **common)
             jp = joint_params_from_variables(params)
+        # encoder-output lengths: == input lengths except for conv-
+        # subsampling input layers (espnet family), where the encoder is
+        # 4-8x shorter than the input and the raw lengths would run the
+        # loss lattice past the valid frames
+        t_len = model.encoded_lengths(batch["inputs_length"], inputs.shape[1]) \
+            if is_espnet else batch["inputs_length"]
         # eval never differentiates -> the forward-only Pallas joint+LSE
         # kernel is safe there (and marginally faster than the XLA chunks
         # on TPU; see rnnt_loss_fused docstring for the measurement)
         return rnnt_loss_fused(enc, dec, jp, batch["targets"],
-                               batch["inputs_length"], batch["targets_length"],
+                               t_len, batch["targets_length"],
                                chunk_size=cfg.loss_chunk_size,
                                compute_dtype=cfg.compute_dtype,
                                reduction="mean",

@@ -181,23 +181,41 @@ class Trainer:
         dcfg = self.config.data
         train_ds = AudioDataset(dcfg, "train", self.vocab, augment=augment)
         dev_ds = AudioDataset(dcfg, "dev", self.vocab)
-        train = DataLoader(train_ds, dcfg.batch_size, shuffle=bool(dcfg.shuffle),
+        shuffle = bool(dcfg.shuffle)
+        if dcfg.short_first and shuffle:
+            # the curriculum sort would be silently destroyed by re-
+            # permuting indices every epoch; short_first wins, loudly
+            self.logger.warning("data.short_first overrides data.shuffle: "
+                                "training keeps the short-first curriculum "
+                                "order")
+            shuffle = False
+        train = DataLoader(train_ds, dcfg.batch_size, shuffle=shuffle,
                            seed=self.config.training.seed or 1)
         dev = DataLoader(dev_ds, dcfg.batch_size, shuffle=False, drop_last=False)
         return train, dev
 
+    def _current_lr(self) -> float:
+        """The LR actually in effect: with a per-step schedule
+        (optim.schedule) read it from the injected optimizer hyperparams;
+        otherwise the epoch-level controller owns it."""
+        if self.config.optim.schedule is not None:
+            lr = optim_lib.get_learning_rate(self.opt_state)
+            if lr is not None:
+                return lr
+        return self.lr_ctl.lr
+
     def _record_step(self, epoch, loss, grad_norm, total_loss, steps, t0):
         show = self.config.training.show_interval or 10
+        lr = self._current_lr()
         if self.metrics is not None:
             self.metrics.add_scalar("train_loss", loss, self.global_step)
-            self.metrics.add_scalar("learn_rate", self.lr_ctl.lr,
-                                    self.global_step)
+            self.metrics.add_scalar("learn_rate", lr, self.global_step)
         if self.global_step % show == 0:
             dt = time.perf_counter() - t0
             self.logger.info(
                 "-Training-Epoch:%d, Step:%d, lr:%.6f, GradNorm:%.4f, "
                 "Loss:%.5f, AvgLoss:%.5f, %.2f steps/s", epoch,
-                self.global_step, self.lr_ctl.lr, grad_norm,
+                self.global_step, lr, grad_norm,
                 loss, total_loss / steps, steps / dt)
 
     def train_epoch(self, epoch: int, loader) -> float:
@@ -264,6 +282,10 @@ class Trainer:
             enc = self.model.apply({"params": params}, inputs,
                                    t_len if self.is_espnet else None,
                                    method="encode")
+            # conv-subsampling input layers shorten the encoder output;
+            # decode over the mapped lengths, not the input lengths
+            if self.is_espnet:
+                t_len = self.model.encoded_lengths(t_len, inputs.shape[1])
             # espnet family seeds the label history with sos == vocab-1
             # (tt_espnet/model.py:86); native seeds blank 0
             seed = (self.model.vocab_size - 1) if self.is_espnet else 0
@@ -315,15 +337,19 @@ class Trainer:
         Beyond-reference observability (the reference logs wall-clock only,
         ``train.py:78-84``); some remote-backend relays cannot capture
         device traces, so failure degrades to an un-profiled epoch."""
+        avg = None
         try:
             with jax.profiler.trace(trace_dir):
                 avg = self.train_epoch(epoch, loader)
             self.logger.info("profiler trace written to %s", trace_dir)
-            return avg
         except Exception as e:  # relay/backend without profiler support
             self.logger.warning("profiling failed (%s); continuing without",
                                 e)
-            return self.train_epoch(epoch, loader)
+            # the epoch already ran if only trace TEARDOWN failed -- never
+            # train it twice (double optimizer updates / LR drift)
+            if avg is None:
+                avg = self.train_epoch(epoch, loader)
+        return avg
 
     def fit(self, epochs: Optional[int] = None, augment: bool = False,
             eval_batches: Optional[int] = None,
