@@ -208,3 +208,32 @@ def test_espnet_session_matches_offline_greedy():
                                    max_tokens=41, seed_token=vocab - 1)
     offline = tokens_to_lists(np.asarray(tokens), np.asarray(counts))[0]
     assert out == offline, f"streamed {out} != offline {offline}"
+
+
+def test_jitted_programs_do_not_bake_params_as_constants():
+    """Regression: the session's jitted programs must take the model
+    parameters as ARGUMENTS.  A closure over the variables serializes every
+    parameter into the lowered program as a literal constant (~500 MB of
+    StableHLO for the 18-layer flagship), which overflows remote-compile
+    request limits.  Guard: the lowered text must stay far smaller than the
+    parameter bytes."""
+    model, variables = _model(d_model=64)
+    cfg = StreamingConfig(left_context=3, right_context=1, n_layer=2,
+                          feature_dim=16)
+    session = StreamingSession(model, variables, cfg)
+    k = 1
+    length = cfg.window_len
+    args = (session.variables, jnp.zeros((k, length, 64)),
+            jnp.zeros((k,), jnp.int32), jnp.ones((k,), jnp.int32),
+            session._buf, session._count,
+            session._predict_last(session.variables, session._buf,
+                                  session._count),
+            session._blank_run, session._emitted_any)
+    text = session._window_decode.lower(*args).as_text()
+    param_bytes = sum(np.asarray(x).nbytes
+                      for x in jax.tree_util.tree_leaves(variables))
+    # baked f32 constants render as >= 8 bytes/element of program text;
+    # an argument-passing program stays well under half the param bytes
+    assert len(text) < max(param_bytes // 2, 100_000), (
+        f"lowered program is {len(text)} bytes for {param_bytes} param "
+        "bytes — parameters are being baked in as constants")
