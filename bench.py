@@ -69,6 +69,20 @@ def _timeit(fn, *args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _best_of(fn, *args, repeats=3, divisor=1):
+    """Compile (one forced call), then best-of-``repeats`` wall time of
+    ``fn(*args)`` divided by ``divisor`` (e.g. scan chain length) — the
+    shared shape of every chained sub-benchmark here (the relay's dispatch
+    latency is noisy, so min-of-N is the stable statistic)."""
+    _force(fn(*args))
+    best = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _force(fn(*args))
+        best = min(best, (time.perf_counter() - t0) / divisor)
+    return best
+
+
 def bench_offline_rtf(batch=8, t=410, u_cap=43):
     """Encoder + batched greedy decode on the aishell config."""
     from transformer_transducer_tpu.models.transducer import Transducer
@@ -131,13 +145,7 @@ def bench_train_step(batch=4, t=410, u=42, n_chain=8):
         (p, o), losses = jax.lax.scan(body, (p, o), jnp.arange(n_chain))
         return losses[-1]
 
-    _force(chain(params, opt_state))  # compile
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(chain(params, opt_state))
-        best = min(best, (time.perf_counter() - t0) / n_chain)
-    return best * 1e3  # ms / step
+    return _best_of(chain, params, opt_state, divisor=n_chain) * 1e3  # ms/step
 
 
 def bench_encode_mfu(batch=16, t=410, n_chain=16):
@@ -164,12 +172,7 @@ def bench_encode_mfu(batch=16, t=410, n_chain=16):
         out, _ = jax.lax.scan(body, x, None, length=n_chain)
         return jnp.sum(out)
 
-    _force(chain(x))  # compile
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(chain(x))
-        best = min(best, (time.perf_counter() - t0) / n_chain)
+    best = _best_of(chain, x, divisor=n_chain)
     flops = transducer_flops(batch, t, 0, 0, include_joint=False)
     return flops / best / PEAK_FLOPS
 
@@ -211,13 +214,7 @@ def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
         (p, o), losses = jax.lax.scan(body, (p, o), jnp.arange(n_chain))
         return losses[-1]
 
-    _force(chain(params, opt_state))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(chain(params, opt_state))
-        best = min(best, (time.perf_counter() - t0) / n_chain)
-    return best * 1e3
+    return _best_of(chain, params, opt_state, divisor=n_chain) * 1e3
 
 
 def bench_beam_rtf(batch=8, t=410, width=5):
@@ -271,13 +268,7 @@ def bench_rnnt_loss(batch=4, t=410, u=42, v=4334, n_chain=8):
         out, _ = jax.lax.scan(body, enc, None, length=n_chain)
         return jnp.sum(out)
 
-    _force(chain(enc))  # compile
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(chain(enc))
-        best = min(best, (time.perf_counter() - t0) / n_chain)
-    return best * 1e3
+    return _best_of(chain, enc, divisor=n_chain) * 1e3
 
 
 def bench_streaming_rtf(seconds=30):

@@ -196,7 +196,9 @@ class StreamingSession:
             it is bounded by ``n_eff + 1 <= e_max`` iterations.  Numerics are
             identical to the per-frame loop (chunked==offline property
             tests).  Reference semantics: one emission per frame max,
-            ``audio/streamRec_unlimit_dynamic_window.py:187-207``.
+            ``audio/streamRec_unlimit_dynamic_window.py:187-207``.  The
+            batched-joint non-blank detection idea is WIND's
+            (arXiv:2505.13765), realized here as a TPU ``while_loop``.
             """
             if is_espnet:
                 # espnet encoder bands internally (model.mask config); its
