@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-TQ = 128
+TQ = 128  # 256 fails Mosaic alignment on the unaligned dq boundary store;
+          # at T=410 the kernel is ~par with XLA dense anyway (README table)
 
 
 def _roll_rows_by_lane(x: jax.Array, sign: int) -> jax.Array:
