@@ -77,3 +77,17 @@ def test_jax_masked_variant_matches():
     ref = fnp.logmel_masked(wave)
     got = np.asarray(fj.logmel_masked(jnp.asarray(wave)))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_stack_frames_short_sequence_matches_numpy():
+    """Regression: the JAX stack_frames crashed (wrapped negative slices)
+    when t <= left; the numpy twin zero-pads.  They must agree."""
+    import jax.numpy as jnp
+    from transformer_transducer_tpu.ops import features as FJ
+    from transformer_transducer_tpu.ops import features_np as FN
+    rng = np.random.RandomState(0)
+    for t in (1, 2, 3, 4, 7):
+        x = rng.randn(t, 4).astype(np.float32)
+        got = np.asarray(FJ.stack_frames(jnp.asarray(x), 3, 0))
+        want = FN.stack_frames(x, 3, 0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)

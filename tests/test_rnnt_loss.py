@@ -209,3 +209,82 @@ def test_fused_no_remat_identical():
     for a, r in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_fused_loss_respects_relu_activation():
+    """Regression: fused_grid_logprobs hardcoded tanh; a relu joint trained
+    against a tanh-joint loss.  Oracle: full logits through the same relu."""
+    import jax
+    rng = np.random.RandomState(11)
+    b, t, u, v, d, inner = 2, 5, 3, 7, 4, 6
+    enc = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    dec = jnp.asarray(rng.randn(b, u + 1, d).astype(np.float32))
+    y = jnp.asarray(rng.randint(1, v, size=(b, u)))
+    jp = tuple(jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.3
+               for s in [(d, inner), (d, inner), (inner,), (inner, v), (v,)])
+    t_len = jnp.asarray([t, t - 1])
+    u_len = jnp.asarray([u, u - 1])
+
+    w_e, w_d, b1, w_o, b_o = jp
+    h = jax.nn.relu(enc[:, :, None, :] @ w_e + dec[:, None, :, :] @ w_d + b1)
+    logits = h @ w_o + b_o
+    oracle = rl.rnnt_loss(logits, y, t_len, u_len, reduction="none")
+    fused = rl.rnnt_loss_fused(enc, dec, jp, y, t_len, u_len, chunk_size=2,
+                               reduction="none", activation="relu")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=1e-5)
+    # and tanh still differs from relu (the regression would equalize them)
+    fused_tanh = rl.rnnt_loss_fused(enc, dec, jp, y, t_len, u_len,
+                                    chunk_size=2, reduction="none")
+    assert not np.allclose(np.asarray(fused_tanh), np.asarray(oracle))
+
+
+def test_joint_params_from_tied_variables():
+    """Regression: share_embedding models have no project_layer — the fused
+    loss path must rebuild the output projection from the embedding table."""
+    import jax
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.ops.rnnt_loss import (
+        joint_params_from_variables)
+
+    model = Transducer(vocab_size=9, enc=(1, 16, 2, 8, 4, 12),
+                       dec=(1, 8, 2, 8, 4, 12), joint_inner=8,
+                       share_embedding=True)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 6, 8).astype(np.float32))
+    y = jnp.asarray(rng.randint(1, 9, size=(2, 3)))
+    variables = model.init(jax.random.PRNGKey(0), x, y)
+    t_len = jnp.asarray([6, 5])
+    u_len = jnp.asarray([3, 2])
+
+    logits = model.apply(variables, x, y)
+    oracle = rl.rnnt_loss(logits, y, t_len, u_len, reduction="none")
+    enc, dec = model.apply(variables, x, y, method=Transducer.encode_both)
+    jp = joint_params_from_variables(variables)
+    fused = rl.rnnt_loss_fused(enc, dec, jp, y, t_len, u_len, chunk_size=2,
+                               reduction="none")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_zero_t_len_row_is_inert():
+    """Regression: a fully-padded batch row (t_len == 0) must contribute
+    zero loss and zero gradients, not a wrapped-gather garbage value."""
+    import jax
+    rng = np.random.RandomState(3)
+    b, t, u1 = 2, 4, 3
+    lp_b = jnp.asarray(np.log(rng.uniform(0.1, 1, size=(b, t, u1))).astype(np.float32))
+    lp_l = jnp.asarray(np.log(rng.uniform(0.1, 1, size=(b, t, u1))).astype(np.float32))
+    t_len = jnp.asarray([t, 0])
+    u_len = jnp.asarray([u1 - 1, 0])
+
+    def total(lp_b, lp_l):
+        return jnp.sum(rl.rnnt_loss_grid(lp_b, lp_l, t_len, u_len))
+
+    losses = rl.rnnt_loss_grid(lp_b, lp_l, t_len, u_len)
+    assert float(losses[1]) == 0.0
+    assert np.isfinite(np.asarray(losses)).all()
+    gb, gl = jax.grad(total, argnums=(0, 1))(lp_b, lp_l)
+    assert np.isfinite(np.asarray(gb)).all() and np.isfinite(np.asarray(gl)).all()
+    np.testing.assert_array_equal(np.asarray(gb)[1], 0.0)
+    np.testing.assert_array_equal(np.asarray(gl)[1], 0.0)

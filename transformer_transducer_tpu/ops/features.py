@@ -72,16 +72,21 @@ def logmel_eps(wave: jax.Array, sr: int = SAMPLE_RATE, n_mels: int = N_MELS) -> 
 
 
 def stack_frames(features: jax.Array, left: int = 3, right: int = 0) -> jax.Array:
-    """Chronological frame stacking with zero edges (see numpy twin)."""
+    """Chronological frame stacking with zero edges (see numpy twin).
+
+    Row ``i`` of piece ``offset`` is ``features[i + offset]`` when in range,
+    else zero — including sequences SHORTER than the stack width, where the
+    naive ``features[:t + offset]`` negative slice would wrap and produce
+    wrong-length pieces."""
     t = features.shape[0]
     pieces = []
     for offset in range(-left, right + 1):
-        if offset < 0:
-            shifted = jnp.pad(features[:t + offset], ((-offset, 0), (0, 0)))
-        elif offset > 0:
-            shifted = jnp.pad(features[offset:], ((0, offset), (0, 0)))
+        lo, hi = max(-offset, 0), min(t - offset, t)   # valid dest rows
+        if hi <= lo:
+            shifted = jnp.zeros_like(features)
         else:
-            shifted = features
+            shifted = jnp.pad(features[lo + offset:hi + offset],
+                              ((lo, t - hi), (0, 0)))
         pieces.append(shifted)
     return jnp.concatenate(pieces, axis=1)
 

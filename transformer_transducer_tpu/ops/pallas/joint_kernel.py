@@ -36,62 +36,70 @@ VT = 512      # vocab tile
 U1P = 8       # pad U+1 to a multiple of this
 
 
-def _kernel(enc_ref, decp_ref, we_ref, wo_ref, bo_ref, labels_ref,
-            lpb_ref, lpl_ref, h_scr, m_scr, s_scr, lbl_scr, blk_scr):
-    k = pl.program_id(2)
-    nk = pl.num_programs(2)
-    u1p = decp_ref.shape[1]
-    n = TT * u1p
+def _make_kernel(activation: str):
+    act = {"tanh": jnp.tanh, "relu": lambda x: jnp.maximum(x, 0.0)}[activation]
 
-    @pl.when(k == 0)
-    def _init():
-        he = jnp.dot(enc_ref[0], we_ref[:],
-                     preferred_element_type=jnp.float32)       # (TT, J)
-        decp = decp_ref[0]                                     # (U1p, J)
-        for ti in range(TT):
-            h_scr[pl.ds(ti * u1p, u1p), :] = jnp.tanh(
-                he[ti:ti + 1, :] + decp).astype(h_scr.dtype)
-        m_scr[:] = jnp.full((n, 1), NEG, jnp.float32)
-        s_scr[:] = jnp.zeros((n, 1), jnp.float32)
-        lbl_scr[:] = jnp.zeros((n, 1), jnp.float32)
-        blk_scr[:] = jnp.zeros((n, 1), jnp.float32)
+    def _kernel(enc_ref, decp_ref, we_ref, wo_ref, bo_ref, labels_ref,
+                    lpb_ref, lpl_ref, h_scr, m_scr, s_scr, lbl_scr, blk_scr):
+        k = pl.program_id(2)
+        nk = pl.num_programs(2)
+        u1p = decp_ref.shape[1]
+        n = TT * u1p
 
-    logits = jnp.dot(h_scr[:], wo_ref[:],
-                     preferred_element_type=jnp.float32) + bo_ref[0]  # (N, VT)
-    # (bf16 operands, f32 accumulation — the MXU's native fast path)
+        @pl.when(k == 0)
+        def _init():
+            he = jnp.dot(enc_ref[0], we_ref[:],
+                         preferred_element_type=jnp.float32)       # (TT, J)
+            decp = decp_ref[0]                                     # (U1p, J)
+            for ti in range(TT):
+                h_scr[pl.ds(ti * u1p, u1p), :] = act(
+                    he[ti:ti + 1, :] + decp).astype(h_scr.dtype)
+            m_scr[:] = jnp.full((n, 1), NEG, jnp.float32)
+            s_scr[:] = jnp.zeros((n, 1), jnp.float32)
+            lbl_scr[:] = jnp.zeros((n, 1), jnp.float32)
+            blk_scr[:] = jnp.zeros((n, 1), jnp.float32)
 
-    # online logsumexp
-    row_max = jnp.max(logits, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_scr[:], row_max)
-    s_scr[:] = (s_scr[:] * jnp.exp(m_scr[:] - m_new)
-                + jnp.sum(jnp.exp(logits - m_new), axis=1, keepdims=True))
-    m_scr[:] = m_new
+        logits = jnp.dot(h_scr[:], wo_ref[:],
+                         preferred_element_type=jnp.float32) + bo_ref[0]  # (N, VT)
+        # (bf16 operands, f32 accumulation — the MXU's native fast path)
 
-    # gathered entries: blank column (global id 0 -> tile 0, lane 0) and the
-    # per-row label id via a compare-select reduction
-    @pl.when(k == 0)
-    def _blank():
-        blk_scr[:] = logits[:, 0:1]
+        # online logsumexp
+        row_max = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_scr[:], row_max)
+        s_scr[:] = (s_scr[:] * jnp.exp(m_scr[:] - m_new)
+                    + jnp.sum(jnp.exp(logits - m_new), axis=1, keepdims=True))
+        m_scr[:] = m_new
 
-    v_start = k * VT
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, VT), 1) + v_start
-    sel = (col == labels_ref[0])                                # (N, VT)
-    lbl_scr[:] = lbl_scr[:] + jnp.sum(jnp.where(sel, logits, 0.0),
-                                      axis=1, keepdims=True)
+        # gathered entries: blank column (global id 0 -> tile 0, lane 0) and the
+        # per-row label id via a compare-select reduction
+        @pl.when(k == 0)
+        def _blank():
+            blk_scr[:] = logits[:, 0:1]
 
-    @pl.when(k == nk - 1)
-    def _emit():
-        lse = m_scr[:] + jnp.log(s_scr[:])
-        lpb_ref[0] = blk_scr[:] - lse
-        lpl_ref[0] = lbl_scr[:] - lse
+        v_start = k * VT
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, VT), 1) + v_start
+        sel = (col == labels_ref[0])                                # (N, VT)
+        lbl_scr[:] = lbl_scr[:] + jnp.sum(jnp.where(sel, logits, 0.0),
+                                          axis=1, keepdims=True)
+
+        @pl.when(k == nk - 1)
+        def _emit():
+            lse = m_scr[:] + jnp.log(s_scr[:])
+            lpb_ref[0] = blk_scr[:] - lse
+            lpl_ref[0] = lbl_scr[:] - lse
+
+
+    return _kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("blank", "interpret", "compute_dtype"))
+                   static_argnames=("blank", "interpret", "compute_dtype",
+                                    "activation"))
 def fused_grid_logprobs_pallas(enc: jax.Array, dec: jax.Array, joint_params,
                                labels: jax.Array, blank: int = 0,
                                interpret: bool = False,
-                               compute_dtype=jnp.float32
+                               compute_dtype=jnp.float32,
+                               activation: str = "tanh"
                                ) -> Tuple[jax.Array, jax.Array]:
     """Blank/label log-prob grids (each (B, T, U+1)) — forward only.
 
@@ -124,7 +132,7 @@ def fused_grid_logprobs_pallas(enc: jax.Array, dec: jax.Array, joint_params,
 
     grid = (b, t_pad // TT, v_pad // VT)
     lpb, lpl = pl.pallas_call(
-        _kernel,
+        _make_kernel(activation),
         out_shape=(jax.ShapeDtypeStruct((b, t_pad // TT * n, 1), jnp.float32),
                    jax.ShapeDtypeStruct((b, t_pad // TT * n, 1), jnp.float32)),
         grid=grid,

@@ -159,16 +159,22 @@ def _rnnt_fwd(lp_b, lp_l, t_len, u_len):
     else:
         alpha = _alpha_scan(skew_b, skew_l)
     bi = jnp.arange(b)
-    d_final = t_len - 1 + u_len
+    # t_len == 0 rows (fully-padded batch entries) have no valid lattice:
+    # clamp the gather and zero the loss (and, below, the gradients) instead
+    # of wrapping to diagonal -1 and returning garbage
+    valid = t_len > 0
+    d_final = jnp.maximum(t_len - 1 + u_len, 0)
     log_z = (alpha[bi, d_final, u_len]
              + lp_b[bi, jnp.maximum(t_len - 1, 0), u_len])
-    return -log_z, (skew_b, skew_l, alpha, log_z, t_len, u_len, t)
+    loss = jnp.where(valid, -log_z, 0.0)
+    return loss, (skew_b, skew_l, alpha, log_z, t_len, u_len, t)
 
 
 def _rnnt_bwd(residuals, g):
     skew_b, skew_l, alpha, log_z, t_len, u_len, t = residuals
     b, d_total, u1 = skew_b.shape
-    d_final = t_len - 1 + u_len
+    valid = t_len > 0
+    d_final = jnp.maximum(t_len - 1 + u_len, 0)
     terminal = ((jnp.arange(d_total)[None, :, None] == d_final[:, None, None])
                 & (jnp.arange(u1)[None, None, :] == u_len[:, None, None]))
     if _use_pallas():
@@ -180,13 +186,15 @@ def _rnnt_bwd(residuals, g):
 
     beta_next = jnp.concatenate(
         [beta[:, 1:], jnp.full((b, 1, u1), NEG)], axis=1)   # beta' on diag d+1
-    lz = log_z[:, None, None]
+    # invalid rows: sanitized lz (their log_z may be -1e30 -> exp overflow)
+    # and zeroed chain scale
+    lz = jnp.where(valid, log_z, 0.0)[:, None, None]
     # blank-transition posterior (+ the terminal final-blank), label posterior
     occ_b = jnp.exp(alpha + skew_b + beta_next - lz)
     occ_b += jnp.where(terminal, jnp.exp(alpha + skew_b - lz), 0.0)
     occ_l = jnp.exp(alpha + skew_l + _shift_left_u(beta_next) - lz)
 
-    scale = -g[:, None, None]                               # dL/d(-log_z) chain
+    scale = jnp.where(valid, -g, 0.0)[:, None, None]        # dL/d(-log_z) chain
     d_lp_b = _unskew(occ_b * scale, t)
     d_lp_l = _unskew(occ_l * scale, t)
     # masked label columns received NEG inside fwd -> zero grad there
@@ -230,16 +238,29 @@ def rnnt_loss(logits: jax.Array, labels: jax.Array, t_len: jax.Array,
 # Fused joint + log-prob grids (memory-safe training path)
 # ---------------------------------------------------------------------------
 
-def joint_params_from_variables(variables) -> Tuple[jax.Array, ...]:
+def joint_params_from_variables(variables, enc_dim=None) -> Tuple[jax.Array, ...]:
     """Split a ``models.transducer.JointNetwork`` param tree into
-    (W_enc, W_dec, b1, W_out, b_out) — the concat Linear is row-partitioned."""
+    (W_enc, W_dec, b1, W_out, b_out) — the concat Linear is row-partitioned.
+
+    ``enc_dim``: encoder d_model for the row split; defaults to half of the
+    concat width (correct whenever enc and dec d_model match, as in every
+    shipped config).  Weight-tied joints (``share_embedding``) have no
+    ``project_layer``; their output projection is the decoder embedding
+    table transposed (requires the FULL param tree, not just the joint)."""
     params = variables["params"] if "params" in variables else variables
     joint = params["joint"] if "joint" in params else params
     w1 = joint["forward_layer"]["kernel"]
     b1 = joint["forward_layer"]["bias"]
-    w2 = joint["project_layer"]["kernel"]
-    b2 = joint["project_layer"]["bias"]
-    d_enc = w1.shape[0] // 2
+    if "project_layer" in joint:
+        w2 = joint["project_layer"]["kernel"]
+        b2 = joint["project_layer"]["bias"]
+    else:   # share_embedding: output kernel == embedding table (V, inner).T
+        assert "decoder" in params, (
+            "weight-tied joint needs the full param tree to reach the "
+            "decoder embedding table")
+        w2 = params["decoder"]["embedding"]["embedding"].T
+        b2 = joint["project_bias"]
+    d_enc = enc_dim if enc_dim is not None else w1.shape[0] // 2
     return w1[:d_enc], w1[d_enc:], b1, w2, b2
 
 
@@ -247,7 +268,8 @@ def fused_grid_logprobs(enc: jax.Array, dec: jax.Array, joint_params,
                         labels: jax.Array, blank: int = 0,
                         chunk_size: int = 32,
                         compute_dtype=jnp.float32,
-                        remat: bool = True) -> Tuple[jax.Array, jax.Array]:
+                        remat: bool = True,
+                        activation: str = "tanh") -> Tuple[jax.Array, jax.Array]:
     """Blank/label log-prob grids straight from encoder / label-encoder states.
 
     Computes joint logits T-chunk by T-chunk under ``jax.checkpoint`` so the
@@ -277,9 +299,11 @@ def fused_grid_logprobs(enc: jax.Array, dec: jax.Array, joint_params,
                          constant_values=blank)
     dec_proj = dec.astype(compute_dtype) @ w_dec.astype(compute_dtype) + b1
 
+    act = {"tanh": jnp.tanh, "relu": jax.nn.relu}[activation]
+
     def chunk_fn(enc_chunk):
         h = enc_chunk.astype(compute_dtype) @ w_enc.astype(compute_dtype)
-        h = jnp.tanh(h[:, :, None, :] + dec_proj[:, None, :, :])
+        h = act(h[:, :, None, :] + dec_proj[:, None, :, :])
         logits = (h @ w_out.astype(compute_dtype) + b_out).astype(jnp.float32)
         lse = jax.nn.logsumexp(logits, axis=-1)
         lp_b = logits[..., blank] - lse
@@ -301,7 +325,8 @@ def rnnt_loss_fused(enc: jax.Array, dec: jax.Array, joint_params,
                     reduction: str = "mean",
                     compute_dtype=jnp.float32,
                     use_pallas: Optional[bool] = None,
-                    remat: bool = True) -> jax.Array:
+                    remat: bool = True,
+                    activation: str = "tanh") -> jax.Array:
     """End-to-end training loss from encoder/label-encoder states.
 
     This is the path trainers use; it fuses the joint network into the loss
@@ -324,11 +349,11 @@ def rnnt_loss_fused(enc: jax.Array, dec: jax.Array, joint_params,
         lp_b, lp_l = fused_grid_logprobs_pallas(
             enc, dec, joint_params, labels, blank,
             interpret=jax.default_backend() != "tpu",
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, activation=activation)
     else:
         lp_b, lp_l = fused_grid_logprobs(enc, dec, joint_params, labels,
                                          blank, chunk_size, compute_dtype,
-                                         remat)
+                                         remat, activation=activation)
     losses = rnnt_loss_grid(lp_b, lp_l, t_len, u_len)
     if reduction == "mean":
         return jnp.mean(losses)

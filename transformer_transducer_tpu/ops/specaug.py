@@ -19,7 +19,10 @@ def _stripe_mask(rng: jax.Array, length: int, max_width: int,
     r1, r2 = jax.random.split(rng)
     widths = jax.random.uniform(r1, (num,), minval=0.0, maxval=max_width)
     widths = widths.astype(jnp.int32)                      # floor, as int(U[0,w))
-    starts = jax.random.randint(r2, (num,), 0, jnp.maximum(length - widths, 1))
+    # inclusive upper bound, matching the reference's random.randint
+    # (tt/utils.py:301,319): a stripe may end flush at the sequence edge
+    starts = jax.random.randint(r2, (num,), 0,
+                                jnp.maximum(length - widths + 1, 1))
     pos = jnp.arange(length)[None, :]
     in_stripe = (pos >= starts[:, None]) & (pos < (starts + widths)[:, None])
     return in_stripe.any(axis=0)

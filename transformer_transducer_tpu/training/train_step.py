@@ -81,6 +81,9 @@ def make_loss_fn(model, cfg: TrainStepConfig) -> Callable:
         # eval never differentiates -> the forward-only Pallas joint+LSE
         # kernel is safe there (and marginally faster than the XLA chunks
         # on TPU; see rnnt_loss_fused docstring for the measurement)
+        # the espnet joint supports relu — the fused loss must apply the
+        # SAME activation the model's joint_logits/decoding use
+        act = getattr(model, "joint_activation", "tanh") or "tanh"
         return rnnt_loss_fused(enc, dec, jp, batch["targets"],
                                t_len, batch["targets_length"],
                                chunk_size=cfg.loss_chunk_size,
@@ -88,7 +91,8 @@ def make_loss_fn(model, cfg: TrainStepConfig) -> Callable:
                                reduction="mean",
                                use_pallas=(not train and
                                            jax.default_backend() == "tpu"),
-                               remat=cfg.loss_remat)
+                               remat=cfg.loss_remat,
+                               activation=act)
     return loss_fn
 
 
