@@ -93,17 +93,9 @@ class RelLearnableSelfAttention(nn.Module):
         r_emb = _slice_pos_table(r_emb, klen).astype(self.compute_dtype)
         r_bias = _slice_pos_table(r_bias, klen).astype(self.compute_dtype)
 
-        if band is None and attn_mask is None and self.flash:
-            # full-attention flash kernel (custom VJP, no (B,H,T,T) in HBM);
-            # exact reference score semantics — see
-            # ops/pallas/flash_rel_attention.py
-            from transformer_transducer_tpu.ops.pallas.flash_rel_attention import (
-                flash_rel_attention)
-            cd = self.compute_dtype
-            vec = flash_rel_attention(
-                q.astype(cd), k.astype(cd), v.astype(cd), r_emb.astype(cd),
-                r_w_bias.astype(cd), r_bias.astype(cd),
-                jax.default_backend() != "tpu")
+        def tail(vec):
+            """Shared out-projection -> dropout -> residual LayerNorm
+            (identical for every score-computation branch)."""
             vec = vec.reshape(b, qlen, h * dh).astype(self.compute_dtype)
             out = nn.Dense(self.d_model, use_bias=False, name="out",
                            dtype=self.compute_dtype)(vec)
@@ -112,25 +104,30 @@ class RelLearnableSelfAttention(nn.Module):
             return nn.LayerNorm(epsilon=1e-5, name="ln")(
                 (x + out).astype(jnp.float32))
 
+        if band is None and attn_mask is None and self.flash:
+            # full-attention flash kernel (custom VJP, no (B,H,T,T) in HBM);
+            # exact reference score semantics — see
+            # ops/pallas/flash_rel_attention.py
+            from transformer_transducer_tpu.ops.pallas.flash_rel_attention import (
+                flash_rel_attention)
+            cd = self.compute_dtype
+            return tail(flash_rel_attention(
+                q.astype(cd), k.astype(cd), v.astype(cd), r_emb.astype(cd),
+                r_w_bias.astype(cd), r_bias.astype(cd),
+                jax.default_backend() != "tpu"))
+
         if band is not None:
             # Pallas banded kernel: O(T*window) scores instead of O(T^2);
             # numerics match the dense path (same score formula incl. the
             # rel-shift wrap) — see ops/pallas/banded_attention.py.
             from transformer_transducer_tpu.ops.pallas.banded_attention import (
                 banded_attention)
-            vec = banded_attention(
+            return tail(banded_attention(
                 q.astype(jnp.float32), k.astype(jnp.float32),
                 v.astype(jnp.float32), r_emb.astype(jnp.float32),
                 r_w_bias.astype(jnp.float32), r_bias.astype(jnp.float32),
                 int(band[0]), int(band[1]),
-                interpret=jax.default_backend() != "tpu")
-            vec = vec.reshape(b, qlen, h * dh).astype(self.compute_dtype)
-            out = nn.Dense(self.d_model, use_bias=False, name="out",
-                           dtype=self.compute_dtype)(vec)
-            out = nn.Dropout(self.dropout, name="drop")(
-                out, deterministic=deterministic)
-            return nn.LayerNorm(epsilon=1e-5, name="ln")(
-                (x + out).astype(jnp.float32))
+                interpret=jax.default_backend() != "tpu"))
 
         rw_q = q + r_w_bias.astype(self.compute_dtype)[None, None]
         # content score (AC) and position score (BD), both (B, H, q, k)
@@ -154,12 +151,7 @@ class RelLearnableSelfAttention(nn.Module):
         prob = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.compute_dtype)
         prob = nn.Dropout(self.dropatt, name="dropatt")(prob, deterministic=deterministic)
 
-        vec = jnp.einsum("bnij,bjnd->bind", prob, v).reshape(b, qlen, h * dh)
-        out = nn.Dense(self.d_model, use_bias=False, name="out",
-                       dtype=self.compute_dtype)(vec)
-        out = nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
-        res = (x + out).astype(jnp.float32)
-        return nn.LayerNorm(epsilon=1e-5, name="ln")(res)
+        return tail(jnp.einsum("bnij,bjnd->bind", prob, v))
 
 
 class PositionwiseFF(nn.Module):

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from transformer_transducer_tpu.models.attention import rel_shift
 from transformer_transducer_tpu.ops.masks import combine_masks, context_mask, padding_mask
 
 NEG_INF = float(np.finfo(np.float32).min)
@@ -54,11 +55,12 @@ def rel_positional_encoding(length: int, d_model: int) -> np.ndarray:
 
 
 def _rel_shift_signed(x: jax.Array) -> jax.Array:
-    """(..., t, 2t-1) -> (..., t, t): out[i, j] = x[i, t-1 + j - i]."""
-    *lead, t, k = x.shape
-    pad = [(0, 0)] * len(lead) + [(0, 0), (1, 0)]
-    xp = jnp.pad(x, pad).reshape(*lead, k + 1, t)
-    return xp[..., 1:, :].reshape(*lead, t, k)[..., :t]
+    """(..., t, 2t-1) -> (..., t, t): out[i, j] = x[i, t-1 + j - i].
+
+    The same flat-order pad/reshape trick as ``models.attention.rel_shift``
+    (one shared implementation of the sharp-edged construction), truncated
+    to the first t columns of the signed 2t-1-wide table."""
+    return rel_shift(x)[..., :x.shape[-2]]
 
 
 class RelPosMultiHeadAttention(nn.Module):
