@@ -92,3 +92,55 @@ def test_stacked_drain_matches_round_by_round():
     assert results == [st.result for st in by_round.streams]
     assert [st.segments for st in stacked.streams] == \
         [st.segments for st in by_round.streams]
+
+
+def test_batched_espnet_streams_match_solo_sessions():
+    """Regression: the batched session must support the espnet family like
+    the solo session does (banded-inside encode, sos seed) — each stream's
+    output equals a solo espnet StreamingSession fed the same audio."""
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    from transformer_transducer_tpu.utils.config import Config
+    vocab = 12
+    cfg_m = Config({
+        "enc": {"input_size": 16, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 2, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": None, "padding_idx": -1},
+        "dec": {"input_size": vocab, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "embed", "padding_idx": -1},
+        "joint": {"vocab_size": vocab, "encoder_output_size": 16,
+                  "decoder_output_size": 16, "joint_space_size": 16,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": 3, "encoder_right_mask": 2,
+                 "decoder_left_mask": 2},
+    })
+    model = build_espnet_transducer(cfg_m)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                           jnp.asarray([8]), jnp.zeros((1, 4), jnp.int32),
+                           jnp.asarray([4]))
+
+    def scfg():
+        return StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                               feature_dim=4, win_audio=4800 + 480,
+                               audio_step=4800, window_len=64,
+                               seed_token=vocab - 1)
+
+    rng = np.random.RandomState(21)
+    wavs = [(np.sin(np.arange(9000) * (0.03 + 0.01 * i)) * 9000
+             + rng.randn(9000) * 1500).astype(np.int16) for i in range(2)]
+
+    batched = BatchedStreamingSession(model, variables, scfg(), 2)
+    for i, w in enumerate(wavs):
+        batched.accept_waveform(i, w)
+        batched.finalize(i)
+    results = batched.run_to_completion()
+
+    for i, w in enumerate(wavs):
+        solo = StreamingSession(model, variables, scfg())
+        solo.accept_waveform(w)
+        solo.finalize()
+        assert results[i] == solo.result, (
+            f"stream {i}: batched {results[i]} != solo {solo.result}")

@@ -68,13 +68,13 @@ def test_feature_pipeline_matches_offline_with_aligned_hop():
     cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
                           feature_dim=4, win_audio=4800 + 480, audio_step=4800)
     model, variables = _model()
-    session = StreamingSession(model, variables, cfg)
+    session = StreamingSession(model, variables, cfg, keep_features=True)
     rng = np.random.RandomState(2)
     wav = (rng.randn(16000) * 3000).astype(np.int16)
     for i in range(0, len(wav), 1600):
         session.accept_waveform(wav[i:i + 1600])
     session.finalize()
-    got = session.subsampled
+    got = session.feature_log
 
     offline = F.subsample(F.stack_frames(
         F.logmel_masked(wav, 16000, 4), 3, 0), 3)
@@ -93,7 +93,7 @@ def test_session_end_to_end_runs_and_matches_offline_greedy():
                           feature_dim=4, stack_left=3, subsample=3,
                           win_audio=4800 + 480, audio_step=4800,
                           label_history=40, window_len=64)
-    session = StreamingSession(model, variables, cfg)
+    session = StreamingSession(model, variables, cfg, keep_features=True)
     rng = np.random.RandomState(4)
     # short utterance: keeps emissions under the offline 41-token budget and
     # the session's 40-token history cap so both paths see full history
@@ -107,7 +107,7 @@ def test_session_end_to_end_runs_and_matches_offline_greedy():
 
     # offline: same feature stream -> full banded encode at the session's
     # fixed window length -> greedy (short outputs: 40-token cap not hit)
-    feats = session.subsampled
+    feats = session.feature_log
     fixed = cfg.window_len
     assert feats.shape[0] <= fixed
     padded = np.zeros((1, fixed, feats.shape[1]), dtype=np.float32)
@@ -154,10 +154,11 @@ def test_trapezoid_session_runs_and_covers_all_frames():
     assert out == session.result
     # steady-state window must have reached max_win (growth finished)
     assert session.win_len == session.max_win
-    # every subsampled frame was consumed exactly once
+    # every subsampled frame was consumed exactly once (positions are
+    # absolute; the retained buffer is the trimmed tail)
+    total = session._sub_base + session.subsampled.shape[0]
     consumed = session.win_feature_position + session.win_len - session.min_win
-    assert session.win_feature_position == session.subsampled.shape[0] or \
-        consumed >= session.subsampled.shape[0]
+    assert session.win_feature_position == total or consumed >= total
 
 
 def test_espnet_session_matches_offline_greedy():
@@ -190,7 +191,7 @@ def test_espnet_session_matches_offline_greedy():
                            feature_dim=4, win_audio=4800 + 480,
                            audio_step=4800, window_len=64,
                            seed_token=vocab - 1)
-    session = StreamingSession(model, variables, scfg)
+    session = StreamingSession(model, variables, scfg, keep_features=True)
     assert session._is_espnet()
     rng = np.random.RandomState(11)
     wav = (np.sin(np.arange(12000) * 0.04) * 9000
@@ -200,7 +201,7 @@ def test_espnet_session_matches_offline_greedy():
         out += session.accept_waveform(wav[i:i + 3000])
     out += session.finalize()
 
-    feats = session.subsampled
+    feats = session.feature_log
     enc = model.apply(variables, jnp.asarray(feats[None]), None,
                       method="encode")
     tokens, counts = greedy_decode(model, variables, enc,
@@ -237,3 +238,29 @@ def test_jitted_programs_do_not_bake_params_as_constants():
     assert len(text) < max(param_bytes // 2, 100_000), (
         f"lowered program is {len(text)} bytes for {param_bytes} param "
         "bytes — parameters are being baked in as constants")
+
+
+def test_long_stream_host_buffers_stay_bounded():
+    """Regression: a long-lived session must hold O(halo) host state, not
+    O(audio history) — buffers are trimmed as consumed while positions stay
+    absolute, and the output equals an un-trimmed run (same decode state)."""
+    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                          feature_dim=4, win_audio=4800 + 480,
+                          audio_step=4800, window_len=64)
+    model, variables = _model()
+    session = StreamingSession(model, variables, cfg)
+    rng = np.random.RandomState(9)
+    seconds = 40
+    bound_audio = cfg.win_audio + 16000   # one window + one accept chunk
+    bound_frames = cfg.window_len * 4
+    for i in range(seconds):
+        wav = (rng.randn(16000) * 3000).astype(np.int16)
+        session.accept_waveform(wav)
+        assert len(session.audio) <= bound_audio, len(session.audio)
+        assert session.subsampled.shape[0] <= bound_frames
+        assert session.log_mel.shape[0] <= cfg.stack_left
+    session.finalize()
+    # positions are still absolute over the whole stream
+    assert session.win_audio_position > 16000 * (seconds - 2)
+    assert session._sub_base + session.subsampled.shape[0] \
+        == session.win_feature_position

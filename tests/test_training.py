@@ -207,3 +207,51 @@ def test_trainer_steps_per_call(corpus, tmp_path):
     assert all(np.isfinite(losses))
     assert losses[1] < losses[0]
     assert trainer.global_step == 2 * n_batches
+
+
+def test_loader_surfaces_worker_errors():
+    """Regression: a dataset item that raises must fail the epoch loudly —
+    the old producer died before enqueueing its sentinel and the consumer
+    blocked forever."""
+    from transformer_transducer_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt wav")
+            x = np.zeros((4, 2), np.float32)
+            return x, 4, np.zeros((3,), np.int64), 3
+
+    loader = DataLoader(Bad(), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt wav"):
+        for _ in loader:
+            pass
+
+
+def test_loader_tolerates_abandoned_iteration():
+    """Breaking out of an epoch early (eval max_batches) must release the
+    producer thread instead of leaving it blocked on a full queue."""
+    import threading
+    from transformer_transducer_tpu.data.loader import DataLoader
+
+    class Ok:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            x = np.zeros((4, 2), np.float32)
+            return x, 4, np.zeros((3,), np.int64), 3
+
+    before = threading.active_count()
+    for _ in range(4):
+        loader = DataLoader(Ok(), batch_size=4, shuffle=False, num_workers=2,
+                            prefetch_batches=2)
+        for bi, _ in enumerate(loader):
+            if bi == 1:
+                break   # abandon mid-epoch
+    import time
+    time.sleep(1.0)   # give released producers a moment to exit
+    assert threading.active_count() <= before + 2, threading.active_count()

@@ -74,7 +74,12 @@ class AudioDataset:
         self.max_target_length = data_cfg.max_target_length
         self.ignore_id = data_cfg.ignore_id or 0
         self.augment = augment
-        self.rng = np.random.default_rng(seed)
+        # numpy Generators are NOT thread-safe and __getitem__ runs from the
+        # DataLoader's worker pool: derive an independent, deterministic
+        # child generator per (utterance, epoch) instead of sharing one
+        # bit-generator across threads (DataLoader publishes loader_epoch)
+        self._seed = seed
+        self.loader_epoch = 0
         self.cmvn = cmvn
         # data.short_first: train on short utterances first (curriculum).
         # The reference declares the flag but its implementation is a
@@ -92,7 +97,10 @@ class AudioDataset:
         targets = np.asarray(self.vocab.encode(label), dtype=np.int64)
         wave, rate = read_wave(path)
         if self.augment:
-            wave = audio_augment(self.rng, wave)
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self._seed, index,
+                                        self.loader_epoch]))
+            wave = audio_augment(rng, wave)
         feats = F.logmel_eps(wave, rate, self.feature_dim)
         if self.cmvn is not None:
             feats = self.cmvn(path, feats)

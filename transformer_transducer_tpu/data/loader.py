@@ -43,28 +43,66 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
         self.epoch += 1
+        # per-epoch augmentation seeding (see AudioDataset.loader_epoch)
+        if hasattr(self.dataset, "loader_epoch"):
+            self.dataset.loader_epoch = self.epoch
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()   # consumer abandoned the iterator
+        error: list = []
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone (an
+            abandoned iterator must not leave the producer blocked on a
+            full queue holding its worker pool forever)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    ids = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, ids))
-                    feats = np.stack([it[0] for it in items])
-                    t_len = np.stack([it[1] for it in items])
-                    tgts = np.stack([it[2] for it in items])
-                    u_len = np.stack([it[3] for it in items])
-                    out_q.put({"inputs": feats, "inputs_length": t_len,
-                               "targets": tgts, "targets_length": u_len})
-            out_q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        ids = order[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
+                        items = list(pool.map(self.dataset.__getitem__, ids))
+                        feats = np.stack([it[0] for it in items])
+                        t_len = np.stack([it[1] for it in items])
+                        tgts = np.stack([it[2] for it in items])
+                        u_len = np.stack([it[3] for it in items])
+                        if not put({"inputs": feats, "inputs_length": t_len,
+                                    "targets": tgts, "targets_length": u_len}):
+                            return
+            except BaseException as e:   # surface worker errors, never hang
+                error.append(e)
+            finally:
+                put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                yield item
+            thread.join()
+        finally:
+            # break early (consumer break/exception): release the producer
+            stop.set()
+            while True:   # drain so a blocked put() can finish
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5.0)
+        if error:
+            raise RuntimeError(
+                f"DataLoader worker failed: {error[0]!r}") from error[0]

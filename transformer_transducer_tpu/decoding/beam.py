@@ -114,6 +114,7 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
         src_beams = jnp.take_along_axis(
             beams, parents[:, :, None].repeat(max_tokens, 2), 1)
         src_counts = jnp.take_along_axis(counts, parents, 1)
+        src_probs = jnp.take_along_axis(probs, parents, 1)
         can_append = src_counts < max_tokens
         onehot = jax.nn.one_hot(jnp.where(can_append, src_counts, 0),
                                 max_tokens, dtype=beams.dtype)
@@ -121,6 +122,10 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
                              src_beams * (1 - onehot) + new_toks[:, :, None] * onehot,
                              src_beams)
         appended_counts = src_counts + can_append.astype(counts.dtype)
+
+        # a full buffer keeps the parent's score: never credit a token
+        # that was not actually appended (phantom-score inflation)
+        new_probs = jnp.where(can_append, new_probs, src_probs)
 
         e = expand[:, None]
         beams = jnp.where(e[:, :, None], appended, beams)

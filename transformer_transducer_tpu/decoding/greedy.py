@@ -28,6 +28,7 @@ reference behaviour bit-for-bit for parity tests.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -160,16 +161,24 @@ def recognize(model: Transducer, variables, inputs: jax.Array,
     """Full offline recognition: encoder (no mask by default, as in the
     reference eval path ``tt/model.py:92-108``) + batched greedy decode.
 
-    The parameters are a jit ARGUMENT (closed-over arrays would be baked
-    into the serialized HLO as literal constants — hundreds of MB at
-    flagship size, over the remote-compile request limit)."""
-    def run(variables, inputs, t_len):
+    The jitted path is module-level with the (hashable) model static, so the
+    compiled program is CACHED across calls and the parameters/mask stay jit
+    ARGUMENTS (a per-call closure would re-trace every invocation and bake
+    closed-over arrays into the HLO as literal constants)."""
+    if jit:
+        tokens, counts = _recognize_run(model, max_tokens, variables, inputs,
+                                        t_len, audio_mask)
+    else:
         enc = model.apply(variables, inputs, audio_mask, method="encode")
-        return greedy_decode(model, variables, enc, t_len, max_tokens)
-
-    fn = jax.jit(run) if jit else run
-    tokens, counts = fn(variables, inputs, t_len)
+        tokens, counts = greedy_decode(model, variables, enc, t_len,
+                                       max_tokens)
     return tokens_to_lists(np.asarray(tokens), np.asarray(counts))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _recognize_run(model, max_tokens, variables, inputs, t_len, audio_mask):
+    enc = model.apply(variables, inputs, audio_mask, method="encode")
+    return greedy_decode(model, variables, enc, t_len, max_tokens)
 
 
 def decode_reference_exact(model: Transducer, variables,

@@ -28,13 +28,18 @@ from transformer_transducer_tpu.streaming.session import StreamingConfig
 
 
 class _StreamState:
-    """Host-side feature pipeline of one stream."""
+    """Host-side feature pipeline of one stream.  Buffers are trimmed as
+    consumed (positions are ABSOLUTE, the ``*_base`` offsets map them onto
+    the retained tails) so a long-lived stream holds O(halo) host state —
+    see ``session.StreamingSession.reset`` for the scheme."""
 
     def __init__(self, cfg: StreamingConfig, d: int):
         self.audio = np.empty((0,), dtype=np.int16)
+        self.audio_base = 0
         self.log_mel = np.empty((0, cfg.feature_dim), dtype=np.float32)
-        self.concat = np.empty((0, d), dtype=np.float32)
+        self.concat_len = 0
         self.subsampled = np.empty((0, d), dtype=np.float32)
+        self.sub_base = 0
         self.win_audio_position = 0
         self.win_feature_position = 0
         self.result: List[int] = []
@@ -64,7 +69,9 @@ class BatchedStreamingSession:
         cfg = self.cfg
         self.streams = [_StreamState(cfg, self._d) for _ in range(self.n)]
         cap = cfg.label_history + 1
-        self._buf = jnp.zeros((self.n, cap), dtype=jnp.int32)
+        # label-history seed: blank (native) / sos == vocab-1 (espnet)
+        self._buf = jnp.zeros((self.n, cap), dtype=jnp.int32) \
+            .at[:, 0].set(self.cfg.seed_token)
         self._count = jnp.ones((self.n,), dtype=jnp.int32)
         self._blank_run = jnp.zeros((self.n,), dtype=jnp.int32)
         self._emitted_any = jnp.zeros((self.n,), dtype=jnp.int32)
@@ -88,13 +95,22 @@ class BatchedStreamingSession:
             return jnp.take_along_axis(
                 dec, idx.repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
 
+        from transformer_transducer_tpu.decoding.greedy import (
+            _is_native_family)
+        is_espnet = not _is_native_family(self.variables)
+
         def round_body(variables, state, xs):
             """One serving round: encode all N streams' windows + greedy scan.
             ``xs = (windows (N, L, D), left_frames (N,), n_effs (N,))``."""
             windows, left_frames, n_effs = xs
-            amask = context_mask(length, left, right)
-            enc = self.model.apply(variables, windows, amask,
-                                   method="encode")           # (N, L, D)
+            if is_espnet:
+                # espnet encoder bands internally (model.mask config)
+                enc = self.model.apply(variables, windows, None,
+                                       method="encode")       # (N, L, D)
+            else:
+                amask = context_mask(length, left, right)
+                enc = self.model.apply(variables, windows, amask,
+                                       method="encode")       # (N, L, D)
             enc_pad = jnp.pad(enc, ((0, 0), (0, length), (0, 0)))
             enc_eff = jax.vmap(
                 lambda e, lf: jax.lax.dynamic_slice_in_dim(e, lf, length)
@@ -169,32 +185,39 @@ class BatchedStreamingSession:
     def _advance_features(self, st: _StreamState) -> None:
         cfg = self.cfg
         while True:
-            remaining = len(st.audio) - st.win_audio_position
+            audio_total = st.audio_base + len(st.audio)
+            remaining = audio_total - st.win_audio_position
+            rel = st.win_audio_position - st.audio_base
             if remaining >= cfg.win_audio:
-                win = st.audio[st.win_audio_position:
-                               st.win_audio_position + cfg.win_audio]
+                win = st.audio[rel:rel + cfg.win_audio]
                 last = False
             elif st.finished and remaining >= 512:
-                win = st.audio[st.win_audio_position:]
+                win = st.audio[rel:]
                 last = True
             else:
+                # trim consumed audio before returning
+                if rel > 0:
+                    st.audio = st.audio[rel:]
+                    st.audio_base = st.win_audio_position
                 return
             feats = F.logmel_masked(win, cfg.sample_rate, cfg.feature_dim)
             if not last:
                 feats = feats[:-3]
             n_new = feats.shape[0]
             if n_new > 0:
-                st.log_mel = np.concatenate([st.log_mel, feats])
-                src = st.log_mel[-cfg.stack_left - n_new:]
-                stacked = F.stack_frames(src, cfg.stack_left, 0)[
-                    src.shape[0] - n_new:]
-                before = st.concat.shape[0]
-                st.concat = np.concatenate([st.concat, stacked])
+                borrow = cfg.stack_left
+                src = np.concatenate([st.log_mel, feats])[-borrow - n_new:]
+                stacked = F.stack_frames(src, borrow, 0)[src.shape[0] - n_new:]
+                st.log_mel = src[-borrow:] if borrow else src[:0]
+                before = st.concat_len
                 off = (-before) % cfg.subsample
+                st.concat_len = before + n_new
                 st.subsampled = np.concatenate(
-                    [st.subsampled, st.concat[before + off::cfg.subsample]])
+                    [st.subsampled, stacked[off::cfg.subsample]])
             if last:
-                st.win_audio_position = len(st.audio)
+                st.win_audio_position = audio_total
+                st.audio = st.audio[:0]
+                st.audio_base = st.win_audio_position
                 return
             st.win_audio_position += cfg.audio_step
 
@@ -211,7 +234,7 @@ class BatchedStreamingSession:
         n_effs = np.zeros((n,), np.int32)
         for i, st in enumerate(self.streams):
             self._advance_features(st)
-            total = st.subsampled.shape[0]
+            total = st.sub_base + st.subsampled.shape[0]
             future = total - st.win_feature_position
             if future <= 0 or (not st.finished and future <= cfg.right_len):
                 continue
@@ -219,7 +242,7 @@ class BatchedStreamingSession:
             start = st.win_feature_position - left_frame
             end = min(total, start + cfg.window_len)
             right_frame = cfg.right_len if (end < total or not st.finished) else 0
-            window = st.subsampled[start:end]
+            window = st.subsampled[start - st.sub_base:end - st.sub_base]
             n_eff = window.shape[0] - left_frame - right_frame
             if n_eff <= 0:
                 continue
@@ -227,6 +250,11 @@ class BatchedStreamingSession:
             left_frames[i] = left_frame
             n_effs[i] = n_eff
             st.win_feature_position += n_eff
+            # trim feature frames older than the next window's left halo
+            drop = (st.win_feature_position - cfg.left_len) - st.sub_base
+            if drop > 0:
+                st.subsampled = st.subsampled[drop:]
+                st.sub_base += drop
         if not n_effs.any():
             return None
         return windows, left_frames, n_effs

@@ -99,7 +99,12 @@ class StreamingConfig:
 
 class StreamingSession:
     def __init__(self, model: Transducer, variables, cfg: StreamingConfig,
-                 on_token: Optional[Callable[[int, bool], None]] = None):
+                 on_token: Optional[Callable[[int, bool], None]] = None,
+                 keep_features: bool = False):
+        # keep_features: ALSO accumulate the full subsampled feature stream
+        # in ``self.feature_log`` (diagnostics/tests only — it grows with
+        # the audio; the decode path always runs on the trimmed buffers)
+        self.keep_features = keep_features
         self.model = model
         # device-put once: the jitted programs take the parameters as an
         # ARGUMENT (never a closure) — closed-over arrays are baked into the
@@ -123,10 +128,20 @@ class StreamingSession:
 
     # ------------------------------------------------------------------
     def reset(self):
+        # Host buffers are TRIMMED as they are consumed (a long-lived stream
+        # must hold O(halo) state, not O(audio history)); the *_base offsets
+        # map the absolute positions the window math uses onto the retained
+        # tails.  ``concat`` needs no buffer at all: the subsample slice only
+        # ever reads rows appended in the same ingest (the phase counter
+        # ``self.concat_len`` carries the absolute alignment).
         self.audio = np.empty((0,), dtype=np.int16)
+        self._audio_base = 0
         self.log_mel = np.empty((0, self.cfg.feature_dim), dtype=np.float32)
-        self.concat = np.empty((0, self._d), dtype=np.float32)
+        self.concat_len = 0
         self.subsampled = np.empty((0, self._d), dtype=np.float32)
+        self._sub_base = 0
+        self.feature_log = (np.empty((0, self._d), dtype=np.float32)
+                            if self.keep_features else None)
         self.win_audio_position = 0
         self.win_feature_position = 0
         self.result: List[int] = []
@@ -315,18 +330,24 @@ class StreamingSession:
         # ingest features for EVERY complete audio window first (pure host
         # numpy), THEN decode: when audio arrives faster than real time,
         # all ready windows stack into one device program
-        while (self.win_audio_position + self.cfg.win_audio) <= len(self.audio):
-            win = self.audio[self.win_audio_position:
-                             self.win_audio_position + self.cfg.win_audio]
+        audio_total = self._audio_base + len(self.audio)
+        while (self.win_audio_position + self.cfg.win_audio) <= audio_total:
+            rel = self.win_audio_position - self._audio_base
+            win = self.audio[rel:rel + self.cfg.win_audio]
             self._ingest_audio_window(win, last_clip=False)
             self.win_audio_position += self.cfg.audio_step
+        # trim consumed audio (finalize still needs the tail)
+        drop = self.win_audio_position - self._audio_base
+        if drop > 0:
+            self.audio = self.audio[drop:]
+            self._audio_base = self.win_audio_position
         return self._process_feature_windows(last_clip=False)
 
     def finalize(self) -> List[int]:
         """Flush the remaining audio (the reference's ``last_clip`` path)."""
         assert not self._finished
         self._finished = True
-        tail = self.audio[self.win_audio_position:]
+        tail = self.audio[self.win_audio_position - self._audio_base:]
         if len(tail) >= 512:  # >= one FFT window of audio
             self._ingest_audio_window(tail, last_clip=True)
         return self._process_feature_windows(last_clip=True)
@@ -342,21 +363,24 @@ class StreamingSession:
         n_new = feats.shape[0]
         if n_new <= 0:
             return
-        self.log_mel = np.concatenate([self.log_mel, feats])
-
-        # 2. stack smoothing: borrow `stack_left` history frames
+        # 2. stack smoothing: borrow `stack_left` history frames (only that
+        # many log-mel rows are ever read again — keep just the tail)
         borrow = cfg.stack_left
-        src = self.log_mel[-borrow - n_new:]
+        src = np.concatenate([self.log_mel, feats])[-borrow - n_new:]
         stacked = F.stack_frames(src, borrow, 0)[src.shape[0] - n_new:]
-        before = self.concat.shape[0]
-        self.concat = np.concatenate([self.concat, stacked])
+        self.log_mel = src[-borrow:] if borrow else src[:0]
 
-        # 3. subsample phase alignment: resume at the first global index
+        # 3. subsample phase alignment: resume at the first ABSOLUTE index
         # >= `before` that is a multiple of the subsample factor — previous
-        # windows consumed exactly the multiples below `before`.
+        # ingests consumed exactly the multiples below `before`, and every
+        # multiple in [before, before + n_new) lands in `stacked`.
+        before = self.concat_len
         off = (-before) % cfg.subsample
-        new_sub = self.concat[before + off::cfg.subsample]
+        new_sub = stacked[off::cfg.subsample]
+        self.concat_len = before + n_new
         self.subsampled = np.concatenate([self.subsampled, new_sub])
+        if self.feature_log is not None:
+            self.feature_log = np.concatenate([self.feature_log, new_sub])
 
     def _process_feature_windows(self, last_clip: bool) -> List[int]:
         cfg = self.cfg
@@ -367,7 +391,7 @@ class StreamingSession:
         ready = []
         max_bucket = self.WINDOW_BUCKETS[-1]
         while True:
-            total = self.subsampled.shape[0]
+            total = self._sub_base + self.subsampled.shape[0]
             future = total - self.win_feature_position
             if future <= 0 or (not last_clip and future <= cfg.right_len):
                 break
@@ -376,7 +400,8 @@ class StreamingSession:
             end = min(total, start + cfg.window_len)
             # frames cut off by the window cap still need their right halo
             right_frame = cfg.right_len if (end < total or not last_clip) else 0
-            window = self.subsampled[start:end]
+            window = self.subsampled[start - self._sub_base:
+                                     end - self._sub_base]
             n_eff = window.shape[0] - left_frame - right_frame
             if n_eff <= 0:
                 break
@@ -385,7 +410,13 @@ class StreamingSession:
             if len(ready) == max_bucket:
                 emitted += self._decode_windows(ready)
                 ready = []
-        return emitted + self._decode_windows(ready)
+        emitted += self._decode_windows(ready)
+        # trim feature frames older than the next window's left halo
+        drop = (self.win_feature_position - cfg.left_len) - self._sub_base
+        if drop > 0:
+            self.subsampled = self.subsampled[drop:]
+            self._sub_base += drop
+        return emitted
 
     def _decode_window(self, window: np.ndarray, left_frame: int,
                        n_eff: int) -> List[int]:
@@ -504,10 +535,10 @@ class TrapezoidStreamingSession(StreamingSession):
     def _process_feature_windows(self, last_clip: bool) -> List[int]:
         emitted = []
         while True:
-            total = self.subsampled.shape[0]
+            total = self._sub_base + self.subsampled.shape[0]
             if self.win_feature_position + self.win_len <= total:
-                window = self.subsampled[self.win_feature_position:
-                                         self.win_feature_position + self.win_len]
+                rel = self.win_feature_position - self._sub_base
+                window = self.subsampled[rel:rel + self.win_len]
                 eff_start = self.win_len - self.min_win
                 emitted += self._decode_window(window, eff_start,
                                                self.pred_frame)
@@ -521,7 +552,8 @@ class TrapezoidStreamingSession(StreamingSession):
                 if consumed >= total:
                     break
                 start = max(0, self.win_feature_position)
-                window = self.subsampled[start:total]
+                window = self.subsampled[start - self._sub_base:
+                                         total - self._sub_base]
                 eff_start = consumed - start
                 n_eff = window.shape[0] - eff_start
                 if n_eff <= 0:
@@ -530,4 +562,9 @@ class TrapezoidStreamingSession(StreamingSession):
                 self.win_feature_position = total
             else:
                 break
+        # the sliding window never re-reads frames before its current start
+        drop = self.win_feature_position - self._sub_base
+        if drop > 0:
+            self.subsampled = self.subsampled[drop:]
+            self._sub_base += drop
         return emitted

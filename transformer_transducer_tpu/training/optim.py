@@ -100,10 +100,12 @@ def step_decay_schedule(step, warmup_steps: float = 4e3,
     """jnp (traceable) twin of :func:`step_decay_lr` — usable as an optax
     schedule through ``inject_hyperparams`` (``optim.schedule: step_decay``)."""
     step = jnp.asarray(step, jnp.float32)
-    warm = init_lr + (max_lr - init_lr) * step / warmup_steps
+    # strict < and a guarded divisor: warmup_steps == 0 (explicitly allowed
+    # to disable warmup) must give max_lr at step 0, not 0/0 = NaN
+    warm = init_lr + (max_lr - init_lr) * step / jnp.maximum(warmup_steps, 1)
     frac = jnp.clip((step - hold_steps) / (final_step - hold_steps), 0.0, 1.0)
     decay = max_lr * jnp.exp(frac * jnp.log(min_lr / max_lr))
-    return jnp.where(step <= warmup_steps, warm,
+    return jnp.where(step < warmup_steps, warm,
                      jnp.where(step <= hold_steps, max_lr, decay))
 
 
@@ -113,7 +115,7 @@ def step_decay_lr(step: int, warmup_steps: float = 4e3, hold_steps: float = 3e4,
     """Warmup-hold-exponential-decay schedule (working version of the
     reference's buggy ``step_decay_lr``, ``tt/optim.py:35-55``)."""
     import math
-    if step <= warmup_steps:
+    if step < warmup_steps:   # strict: warmup_steps == 0 disables warmup
         return init_lr + (max_lr - init_lr) * step / warmup_steps
     if step <= hold_steps:
         return max_lr

@@ -268,12 +268,13 @@ class Trainer:
         self.logger.info("-Training-Epoch:%d done, AvgLoss: %.5f", epoch, avg)
         return avg
 
-    def evaluate(self, epoch: int, loader, max_batches: Optional[int] = None,
-                 compute_loss: bool = True) -> float:
-        total_dist, total_words = 0, 0
-        total_loss, loss_batches = 0.0, 0
-        dump_path = os.path.join(self.exp_dir, f"decode_{epoch}.txt")
-        max_tokens = self.config.data.max_target_length + 1
+    def _eval_decode_fn(self, max_tokens: int):
+        """Jitted encode+greedy for evaluation — built ONCE and cached on
+        self (a fresh jit-wrapped closure per evaluate() call would
+        re-trace/re-compile every epoch; compiles cost 20-200 s through the
+        remote relay)."""
+        if getattr(self, "_eval_run", None) is not None:
+            return self._eval_run
 
         @jax.jit
         def run(params, inputs, t_len):
@@ -291,6 +292,18 @@ class Trainer:
             seed = (self.model.vocab_size - 1) if self.is_espnet else 0
             return greedy_decode(self.model, {"params": params}, enc, t_len,
                                  max_tokens=max_tokens, seed_token=seed)
+
+        self._eval_run = run
+        return run
+
+    def evaluate(self, epoch: int, loader, max_batches: Optional[int] = None,
+                 compute_loss: bool = True) -> float:
+        total_dist, total_words = 0, 0
+        total_loss, loss_batches = 0.0, 0
+        dump_path = os.path.join(self.exp_dir, f"decode_{epoch}.txt")
+        max_tokens = self.config.data.max_target_length + 1
+
+        run = self._eval_decode_fn(max_tokens)
 
         with open(dump_path, "a", encoding="utf-8") as dump:
             for bi, batch in enumerate(loader):
@@ -337,18 +350,24 @@ class Trainer:
         Beyond-reference observability (the reference logs wall-clock only,
         ``train.py:78-84``); some remote-backend relays cannot capture
         device traces, so failure degrades to an un-profiled epoch."""
-        avg = None
         try:
-            with jax.profiler.trace(trace_dir):
-                avg = self.train_epoch(epoch, loader)
-            self.logger.info("profiler trace written to %s", trace_dir)
+            cm = jax.profiler.trace(trace_dir)
+            cm.__enter__()
         except Exception as e:  # relay/backend without profiler support
-            self.logger.warning("profiling failed (%s); continuing without",
-                                e)
-            # the epoch already ran if only trace TEARDOWN failed -- never
-            # train it twice (double optimizer updates / LR drift)
-            if avg is None:
-                avg = self.train_epoch(epoch, loader)
+            self.logger.warning("profiler unavailable (%s); training "
+                                "unprofiled", e)
+            return self.train_epoch(epoch, loader)
+        try:
+            # a training failure here is REAL — propagate it, never mask it
+            # as a profiling warning or re-run half-applied updates
+            avg = self.train_epoch(epoch, loader)
+        finally:
+            try:
+                cm.__exit__(None, None, None)
+                self.logger.info("profiler trace written to %s", trace_dir)
+            except Exception as e:  # teardown-only failure: epoch is valid
+                self.logger.warning("profiler teardown failed (%s); "
+                                    "continuing without a trace", e)
         return avg
 
     def fit(self, epochs: Optional[int] = None, augment: bool = False,
@@ -361,14 +380,20 @@ class Trainer:
                 self.profile_epoch(epoch, train_loader, profile_dir)
             else:
                 self.train_epoch(epoch, train_loader)
-            self.save(epoch)
             if self.config.training.eval_or_not:
                 self.evaluate(epoch, dev_loader, max_batches=eval_batches)
-            if self.config.optim.schedule is not None:
-                continue   # per-step schedule owns the LR (optim.schedule)
-            if not self.lr_ctl.maybe_decay(epoch):
+            # decay BEFORE save: the checkpoint must carry the LR the NEXT
+            # epoch trains at, or a continue-mode resume stays one decay
+            # step behind an uninterrupted run forever
+            stop = False
+            if self.config.optim.schedule is None:
+                if self.lr_ctl.maybe_decay(epoch):
+                    self.opt_state = optim_lib.set_learning_rate(
+                        self.opt_state, self.lr_ctl.lr)
+                else:
+                    stop = True
+            self.save(epoch)
+            if stop:
                 self.logger.info("The learning rate is too low to train.")
                 break
-            self.opt_state = optim_lib.set_learning_rate(self.opt_state,
-                                                         self.lr_ctl.lr)
         self.logger.info("The training process is OVER!")
