@@ -7,6 +7,7 @@ Headless environments should use ``apps/stream_demo.py`` instead.
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 
@@ -32,7 +33,12 @@ class StreamGui:
         self.stop_button.place(x=400, y=515, anchor="nw")
         self._running = False
         self._source = None
+        # tokens are produced on the feed THREAD but Tk widgets are not
+        # thread-safe: marshal them through a queue drained by a Tk `after`
+        # timer on the main loop
+        self._tokens: "queue.Queue" = queue.Queue()
         session.on_token = self._on_token
+        self.window.after(50, self._drain_tokens)
 
     def set_wav_source(self, path: str, chunk_ms: int = 100):
         from transformer_transducer_tpu.data.wav import read_wave
@@ -65,10 +71,20 @@ class StreamGui:
         self._source = feed
 
     def _on_token(self, tok: int, split: bool):
-        if split:
-            self.text.insert("end", "\n")
-        self.text.insert("end", self.vocab.index2word.get(tok, "?"))
-        self.text.update()
+        # called from the feed thread — only enqueue here
+        self._tokens.put((tok, split))
+
+    def _drain_tokens(self):
+        # main-loop side: the only place that touches the Text widget
+        try:
+            while True:
+                tok, split = self._tokens.get_nowait()
+                if split:
+                    self.text.insert("end", "\n")
+                self.text.insert("end", self.vocab.index2word.get(tok, "?"))
+        except queue.Empty:
+            pass
+        self.window.after(50, self._drain_tokens)
 
     def start(self):
         self.text.delete("1.0", self.tk.END)

@@ -34,7 +34,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    from transformer_transducer_tpu.utils.config import load_config
+    from transformer_transducer_tpu.utils.config import (
+        apply_overrides, load_config, stack_context)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
     from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
     from transformer_transducer_tpu.utils.metrics import batch_cer
@@ -45,20 +46,13 @@ def main():
     from transformer_transducer_tpu.decoding.greedy import greedy_decode, tokens_to_lists
 
     cfg = load_config(args.config)
-    for kv in getattr(args, "overrides", []):
-        key, value = kv.split("=", 1)
-        try:
-            import ast
-            value = ast.literal_eval(value)
-        except (ValueError, SyntaxError):
-            pass
-        cfg.override(key, value)
+    apply_overrides(cfg, getattr(args, "overrides", []))
     vocab = Vocabulary.from_file(cfg.data.vocab)
     model = build_transducer(cfg.model)
 
     rng = jax.random.PRNGKey(0)
-    d_in = (cfg.data.feature_dim or 128) * (1 + (cfg.data.left_context_width or 0)
-                                            + (cfg.data.right_context_width or 0))
+    left_ctx, right_ctx = stack_context(cfg.data)
+    d_in = (cfg.data.feature_dim or 128) * (1 + left_ctx + right_ctx)
     variables = model.init(rng, jnp.zeros((1, 8, d_in)),
                            jnp.zeros((1, 4), jnp.int32))
     params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint, variables["params"])
@@ -67,7 +61,7 @@ def main():
     wave, rate = read_wave(args.wav)
     feats = F.subsample(F.stack_frames(
         F.logmel_masked(wave, rate, cfg.data.feature_dim or 128),
-        cfg.data.left_context_width or 3, cfg.data.right_context_width or 0),
+        left_ctx, right_ctx),
         cfg.data.subsample or 3)
     t = feats.shape[0]
     mask = None if args.full_context else context_mask(

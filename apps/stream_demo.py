@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 def build_session(args):
     import jax
-    from transformer_transducer_tpu.utils.config import load_config
+    from transformer_transducer_tpu.utils.config import (
+        apply_overrides, load_config, stack_context)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
     from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
     from transformer_transducer_tpu.models.transducer import build_transducer
@@ -32,18 +33,10 @@ def build_session(args):
         StreamingConfig, StreamingSession)
 
     cfg = load_config(args.config)
-    for kv in getattr(args, "overrides", []):
-        key, value = kv.split("=", 1)
-        try:
-            import ast
-            value = ast.literal_eval(value)
-        except (ValueError, SyntaxError):
-            pass
-        cfg.override(key, value)
+    apply_overrides(cfg, getattr(args, "overrides", []))
     vocab = Vocabulary.from_file(cfg.data.vocab)
     model = build_transducer(cfg.model)
-    d_in = (cfg.data.feature_dim or 128) * (1 + (cfg.data.left_context_width or 0)
-                                            + (cfg.data.right_context_width or 0))
+    d_in = (cfg.data.feature_dim or 128) * (1 + sum(stack_context(cfg.data)))
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, d_in)),
                            jnp.zeros((1, 4), jnp.int32))
     if args.checkpoint:

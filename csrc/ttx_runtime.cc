@@ -68,10 +68,14 @@ int64_t ttx_parse_wav(const uint8_t* data, int64_t size, int16_t* out,
     uint32_t chunk = 0;
     std::memcpy(&chunk, data + pos + 4, 4);
     if (!std::memcmp(tag, "fmt ", 4)) {
+      // bounds-check the fmt fields (a truncated chunk must not read past
+      // the buffer) and reject degenerate headers (channels == 0 would be
+      // a division by zero below — SIGFPE kills the host process)
+      if (chunk < 16 || pos + 8 + 16 > size) return -1;
       std::memcpy(&channels, data + pos + 10, 2);
       std::memcpy(&rate, data + pos + 12, 4);
       std::memcpy(&bits, data + pos + 22, 2);
-      if (bits != 16) return -1;
+      if (bits != 16 || channels <= 0) return -1;
     } else if (!std::memcmp(tag, "data", 4)) {
       const int64_t n_frames = chunk / (2 * channels);
       const int64_t n = std::min(n_frames, out_capacity);

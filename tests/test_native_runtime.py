@@ -82,3 +82,20 @@ def test_native_features_env_routing(lib, monkeypatch):
     ref_f = F.logmel_masked(wav.astype(np.float32), 16000, 16)
     np.testing.assert_array_equal(ref_f, F.logmel_masked(
         wav.astype(np.float32), 16000, 16))
+
+
+def test_parse_wav_rejects_malformed_headers():
+    """Regression: a truncated fmt chunk must not read out of bounds and
+    channels == 0 must not SIGFPE the host process — both return None."""
+    import struct
+    lib = native.library_or_none()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    truncated = (b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE"
+                 + b"fmt " + b"\x10\x00\x00\x00" + b"\x00\x00")
+    fmt = struct.pack("<HHIIHH", 1, 0, 16000, 32000, 2, 16)
+    zero_ch = (b"RIFF" + b"\x28\x00\x00\x00" + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    for blob in (truncated, zero_ch):
+        assert lib.parse_wav(np.frombuffer(blob, np.uint8)) is None

@@ -74,3 +74,79 @@ def test_make_mesh_shrinks_on_odd_pool(caplog):
     assert dict(m.shape) == {"data": 7, "model": 1}
     with pytest.raises(ValueError):
         mesh_lib.make_mesh(n_model=16, devices=devs)
+
+
+@pytest.fixture(scope="module")
+def espnet_params():
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    from transformer_transducer_tpu.utils.config import Config
+    cfg = Config({
+        "enc": {"input_size": 16, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": None, "padding_idx": -1},
+        "dec": {"input_size": 11, "output_size": 16, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": 0.0,
+                "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+                "input_layer": "embed", "padding_idx": -1},
+        "joint": {"vocab_size": 11, "encoder_output_size": 16,
+                  "decoder_output_size": 16, "joint_space_size": 12,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": -1, "encoder_right_mask": -1,
+                 "decoder_left_mask": 2},
+    })
+    model = build_espnet_transducer(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 16)),
+                   jnp.asarray([6]), jnp.zeros((1, 3), jnp.int32),
+                   jnp.asarray([3]))
+    return model, v["params"]
+
+
+def test_tp_specs_cover_espnet_hot_kernels(espnet_params):
+    """Regression: the espnet family's QKV/FFN/joint kernels must shard too
+    — suffix rules once covered only the two '*out' projections, giving TP
+    the communication cost with none of the balance."""
+    _, params = espnet_params
+    specs = sharding_lib.param_specs(params, tensor_parallel=True)
+    blk = specs["encoder"]["block_0"] if "block_0" in specs["encoder"] \
+        else specs["encoder"]["layer_0"]
+    attn = blk["self_attn"]
+    assert attn["linear_q"]["kernel"] == P(None, "model")
+    assert attn["linear_k"]["kernel"] == P(None, "model")
+    assert attn["linear_v"]["kernel"] == P(None, "model")
+    assert attn["linear_pos"]["kernel"] == P(None, "model")
+    assert attn["linear_out"]["kernel"] == P("model", None)
+    assert attn["pos_bias_u"] == P("model", None)
+    ff = blk["feed_forward"]
+    assert ff["w_1"]["kernel"] == P(None, "model")
+    assert ff["w_2"]["kernel"] == P("model", None)
+    assert specs["joint"]["lin_enc"]["kernel"] == P(None, "model")
+    assert specs["joint"]["lin_dec"]["kernel"] == P(None, "model")
+    assert specs["joint"]["lin_out"]["kernel"] == P("model", None)
+
+
+def test_espnet_tp_loss_matches_replicated(espnet_params):
+    """2-way TP espnet forward loss == replicated loss (GSPMD numerics)."""
+    from transformer_transducer_tpu.ops.rnnt_loss import rnnt_loss_fused
+    from transformer_transducer_tpu.models.espnet_variant import (
+        EspnetTransducer, joint_params_from_espnet_variables)
+    model, params = espnet_params
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 9, 16).astype(np.float32))
+    s_len = jnp.asarray([9, 8, 9, 7])
+    y = jnp.asarray(rng.randint(1, 10, size=(4, 3)))
+    u_len = jnp.asarray([3, 2, 3, 3])
+
+    def loss(p):
+        enc, dec = model.apply({"params": p}, x, s_len, y, u_len,
+                               method=EspnetTransducer.encode_both)
+        jp = joint_params_from_espnet_variables(p)
+        return rnnt_loss_fused(enc, dec, jp, y, s_len, u_len, chunk_size=4)
+
+    ref = float(jax.jit(loss)(params))
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    with mesh:
+        sharded = sharding_lib.shard_params(params, mesh)
+        got = float(jax.jit(loss)(sharded))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)

@@ -36,6 +36,9 @@ def main():
     args = ap.parse_args()
 
     series = load_metrics(args.exp_dir)
+    if not series:
+        print("no metrics recorded yet (metrics.jsonl is empty)")
+        return
     for tag, pts in sorted(series.items()):
         vals = [v for _, v in pts]
         print(f"{tag}: {len(pts)} points, first {vals[0]:.4f}, "
@@ -47,7 +50,7 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, max(len(series), 1), figsize=(5 * len(series), 4))
+    fig, axes = plt.subplots(1, len(series), figsize=(5 * len(series), 4))
     if len(series) == 1:
         axes = [axes]
     for ax, (tag, pts) in zip(axes, sorted(series.items())):

@@ -48,18 +48,11 @@ def main():
                         metavar="KEY=VALUE", help="config override (dotted key)")
     args = parser.parse_args()
 
-    from transformer_transducer_tpu.utils.config import load_config
+    from transformer_transducer_tpu.utils.config import apply_overrides, load_config
     from transformer_transducer_tpu.training.trainer import Trainer
 
     cfg = load_config(args.config)
-    for kv in args.set:
-        key, value = kv.split("=", 1)
-        try:
-            import ast
-            value = ast.literal_eval(value)
-        except (ValueError, SyntaxError):
-            pass
-        cfg.override(key, value)
+    apply_overrides(cfg, args.set)
     if args.steps_per_call:
         cfg.override("training.steps_per_call", args.steps_per_call)
 

@@ -21,25 +21,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from transformer_transducer_tpu.parallel.mesh import MODEL_AXIS
 
 
+# column-parallel projections (output dim sharded): native QKV; espnet
+# q/k/v/pos; FFN inner (fc1 / w_1 / forward_layer); joint inner
+# (lin_enc / lin_dec).  Row-parallel (input dim sharded, GSPMD inserts the
+# all-reduce): attention out projections; FFN outer (fc2 / w_2); vocab
+# projections (project_layer / lin_out).
+_COL_KERNELS = ("linear_q", "linear_k", "linear_v", "linear_pos",
+                "fc1", "w_1", "forward_layer", "lin_enc", "lin_dec")
+_ROW_KERNELS = ("attn/out", "linear_out", "fc2", "w_2", "project_layer",
+                "lin_out")
+
+
 def _spec_for(path: tuple, leaf) -> P:
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
     joined = "/".join(str(n) for n in names)
     nd = leaf.ndim
     if "qkv" in joined and joined.endswith("kernel"):
         return P(None, MODEL_AXIS)
-    if joined.endswith("out/kernel"):
-        return P(MODEL_AXIS, None)
-    if joined.endswith("fc1/kernel") or joined.endswith("forward_layer/kernel"):
-        return P(None, MODEL_AXIS)
-    if joined.endswith("fc1/bias") or joined.endswith("forward_layer/bias"):
-        return P(MODEL_AXIS)
-    if joined.endswith("fc2/kernel") or joined.endswith("project_layer/kernel"):
-        return P(MODEL_AXIS, None)
+    for mod in _COL_KERNELS:
+        if joined.endswith(f"{mod}/kernel"):
+            return P(None, MODEL_AXIS)
+        if joined.endswith(f"{mod}/bias"):
+            return P(MODEL_AXIS)
+    for mod in _ROW_KERNELS:
+        # full module-path suffixes: a bare endswith("out/kernel") would
+        # also catch e.g. the conv-subsampling "out" Dense, whose producer
+        # is replicated — sharding it only buys a reshard
+        if joined.endswith(f"{mod}/kernel"):
+            return P(MODEL_AXIS, None)
     if joined.endswith("r_emb"):
         return P(None, MODEL_AXIS, None)
     if joined.endswith("r_bias") and nd == 2:
         return P(None, MODEL_AXIS)
-    if joined.endswith("r_w_bias"):
+    if joined.endswith("r_w_bias") or joined.endswith("pos_bias_u") \
+            or joined.endswith("pos_bias_v"):
         return P(MODEL_AXIS, None)
     return P()
 

@@ -19,12 +19,14 @@ _TRIED = False
 
 
 def _candidate_paths():
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    yield os.path.join(here, "csrc", "libttx_runtime.so")
-    yield os.path.join(here, "libttx_runtime.so")
+    # the explicit override must WIN over the bundled artifact, so it
+    # comes first
     env = os.environ.get("TTX_RUNTIME_LIB")
     if env:
         yield env
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    yield os.path.join(here, "csrc", "libttx_runtime.so")
+    yield os.path.join(here, "libttx_runtime.so")
 
 
 class _Native:

@@ -81,3 +81,31 @@ def dump_config(cfg: Config, path: str) -> None:
     with open(path, "w") as fh:
         yaml.safe_dump(cfg.to_dict() if isinstance(cfg, Config) else cfg, fh,
                        sort_keys=False, allow_unicode=True)
+
+
+def apply_overrides(cfg, pairs):
+    """Apply CLI ``KEY=VALUE`` override pairs (dotted keys; values parsed as
+    Python literals when possible, else kept as strings).  The ONE home of
+    --set semantics for every CLI entry point."""
+    import ast
+    for kv in pairs or []:
+        key, value = kv.split("=", 1)
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        cfg.override(key, value)
+    return cfg
+
+
+def stack_context(data_cfg):
+    """(left, right) frame-stacking context from a ``data:`` block with the
+    FRAMEWORK-WIDE defaults (3, 0) — the reference frontend (every shipped
+    config sets left 3 / right 0 explicitly; the reference has no default
+    at all).  None-respecting: an explicit 0 stays 0.  Every consumer
+    (dataset, apps, streaming session) must use this one helper — divergent
+    `or 0` / `or 3` fallbacks once made a trained model and its decoder
+    disagree on the input dimension."""
+    left = data_cfg.left_context_width
+    right = data_cfg.right_context_width
+    return (3 if left is None else left), (0 if right is None else right)

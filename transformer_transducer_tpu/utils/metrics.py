@@ -77,8 +77,18 @@ def batch_cer(preds: Sequence[Sequence], labels: Sequence[Sequence]) -> Tuple[in
     """Total edit distance and total label length for a batch.
 
     Same contract as the reference's ``computer_cer`` (``tt/utils.py:46-50``):
-    returns ``(distance, total)`` so callers can aggregate across batches.
+    returns ``(distance, total)``.  Integer-id batches take the single-call
+    native path (one FFI crossing for the whole batch instead of one per
+    pair); string sequences fall back to per-pair distances.
     """
+    native = _maybe_native()
+    if native is not None and preds:
+        pi = [_as_int_ids(p) for p in preds]
+        li = [_as_int_ids(l) for l in labels]
+        if all(x is not None for x in pi) and all(x is not None for x in li):
+            # note the argument order: distance is computed pred-vs-ref and
+            # `total` must be the LABEL length sum
+            return native.batch_levenshtein(pi, li)
     dist = sum(levenshtein(label, pred) for pred, label in zip(preds, labels))
     total = sum(len(label) for label in labels)
     return dist, total
