@@ -39,7 +39,7 @@ def main():
     from transformer_transducer_tpu.utils.vocab import Vocabulary
     from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
     from transformer_transducer_tpu.utils.metrics import batch_cer
-    from transformer_transducer_tpu.models.transducer import Transducer, build_transducer
+    from transformer_transducer_tpu.models.factory import build_family
     from transformer_transducer_tpu.ops import features_np as F
     from transformer_transducer_tpu.ops.masks import context_mask
     from transformer_transducer_tpu.data.wav import read_wave
@@ -48,13 +48,9 @@ def main():
     cfg = load_config(args.config)
     apply_overrides(cfg, getattr(args, "overrides", []))
     vocab = Vocabulary.from_file(cfg.data.vocab)
-    model = build_transducer(cfg.model)
-
-    rng = jax.random.PRNGKey(0)
     left_ctx, right_ctx = stack_context(cfg.data)
     d_in = (cfg.data.feature_dim or 128) * (1 + left_ctx + right_ctx)
-    variables = model.init(rng, jnp.zeros((1, 8, d_in)),
-                           jnp.zeros((1, 4), jnp.int32))
+    model, variables, is_espnet = build_family(cfg, d_in)
     params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint, variables["params"])
     variables = {"params": params}
 
@@ -64,11 +60,22 @@ def main():
         left_ctx, right_ctx),
         cfg.data.subsample or 3)
     t = feats.shape[0]
-    mask = None if args.full_context else context_mask(
-        t, cfg.model.enc.left_context or 10, cfg.model.enc.right_context or 2)
-
-    enc = model.apply(variables, jnp.asarray(feats[None]), mask,
-                      method="encode")
+    if is_espnet:
+        # the espnet encoder bands internally (model.mask); second arg is
+        # the pad-mask lengths, and the label history seeds with sos
+        enc = model.apply(variables, jnp.asarray(feats[None]),
+                          jnp.asarray([t]), method="encode")
+        seed = model.vocab_size - 1
+        if args.beam:
+            raise SystemExit("--beam supports the native family only (the "
+                             "reference espnet recipe decodes greedily)")
+    else:
+        mask = None if args.full_context else context_mask(
+            t, cfg.model.enc.left_context or 10,
+            cfg.model.enc.right_context or 2)
+        enc = model.apply(variables, jnp.asarray(feats[None]), mask,
+                          method="encode")
+        seed = 0
     if args.beam:
         from transformer_transducer_tpu.decoding.beam import beam_search
         pred = beam_search(model, variables, np.asarray(enc)[0], t,
@@ -76,7 +83,8 @@ def main():
                            max_tokens=cfg.data.max_target_length + 1)
     else:
         tokens, counts = greedy_decode(model, variables, enc, jnp.asarray([t]),
-                                       max_tokens=cfg.data.max_target_length + 1)
+                                       max_tokens=cfg.data.max_target_length + 1,
+                                       seed_token=seed)
         pred = tokens_to_lists(np.asarray(tokens), np.asarray(counts))[0]
 
     text = "".join(vocab.decode(pred))

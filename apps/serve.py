@@ -42,7 +42,7 @@ def main():
         apply_overrides, load_config, stack_context)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
     from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
-    from transformer_transducer_tpu.models.transducer import build_transducer
+    from transformer_transducer_tpu.models.factory import build_family
     from transformer_transducer_tpu.streaming.batched import (
         BatchedStreamingSession)
     from transformer_transducer_tpu.streaming.session import StreamingConfig
@@ -51,13 +51,9 @@ def main():
     cfg = load_config(args.config)
     apply_overrides(cfg, args.overrides)
     vocab = Vocabulary.from_file(cfg.data.vocab)
-    model = build_transducer(cfg.model)
-
-    rng = jax.random.PRNGKey(0)
     d_in = (cfg.data.feature_dim or 128) * (
         1 + sum(stack_context(cfg.data)))
-    variables = model.init(rng, jnp.zeros((1, 8, d_in)),
-                           jnp.zeros((1, 4), jnp.int32))
+    model, variables, _ = build_family(cfg, d_in)
     params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint,
                                             variables["params"])
     variables = {"params": params}

@@ -28,17 +28,15 @@ def build_session(args):
         apply_overrides, load_config, stack_context)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
     from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
-    from transformer_transducer_tpu.models.transducer import build_transducer
+    from transformer_transducer_tpu.models.factory import build_family
     from transformer_transducer_tpu.streaming.session import (
         StreamingConfig, StreamingSession)
 
     cfg = load_config(args.config)
     apply_overrides(cfg, getattr(args, "overrides", []))
     vocab = Vocabulary.from_file(cfg.data.vocab)
-    model = build_transducer(cfg.model)
     d_in = (cfg.data.feature_dim or 128) * (1 + sum(stack_context(cfg.data)))
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, d_in)),
-                           jnp.zeros((1, 4), jnp.int32))
+    model, variables, _ = build_family(cfg, d_in)
     if args.checkpoint:
         params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint,
                                                 variables["params"])
