@@ -96,12 +96,14 @@ def bench_offline_rtf(batch=8, t=410, u_cap=43):
     params = model.init(rng, x[:, :8], jnp.zeros((batch, 4), jnp.int32))
     t_len = jnp.full((batch,), t)
 
+    # params as jit ARGUMENTS (framework rule: closures bake them into the
+    # serialized HLO; see DESIGN.md §3)
     @jax.jit
-    def run(x, t_len):
+    def run(params, x, t_len):
         enc = model.apply(params, x, None, method=Transducer.encode)
         return greedy_decode(model, params, enc, t_len, max_tokens=u_cap)
 
-    dt = _timeit(run, x, t_len, iters=5)
+    dt = _timeit(run, params, x, t_len, iters=5)
     audio_seconds = batch * t * FRAME_SECONDS
     return audio_seconds / dt
 
@@ -137,7 +139,7 @@ def bench_train_step(batch=4, t=410, u=42, n_chain=8):
         compute_dtype=jnp.bfloat16, loss_chunk_size=16))
 
     @jax.jit
-    def chain(p, o):
+    def chain(p, o, batch_d):
         def body(carry, i):
             p, o, m = step(carry[0], carry[1], batch_d,
                            jax.random.fold_in(jax.random.PRNGKey(2), i))
@@ -145,7 +147,8 @@ def bench_train_step(batch=4, t=410, u=42, n_chain=8):
         (p, o), losses = jax.lax.scan(body, (p, o), jnp.arange(n_chain))
         return losses[-1]
 
-    return _best_of(chain, params, opt_state, divisor=n_chain) * 1e3  # ms/step
+    return _best_of(chain, params, opt_state, batch_d,
+                    divisor=n_chain) * 1e3  # ms/step
 
 
 def bench_encode_mfu(batch=16, t=410, n_chain=16):
@@ -165,14 +168,14 @@ def bench_encode_mfu(batch=16, t=410, n_chain=16):
     params = model.init(rng, x[:1, :8], jnp.zeros((1, 4), jnp.int32))
 
     @jax.jit
-    def chain(x):
+    def chain(params, x):
         def body(c, _):
             out = model.apply(params, c, None, method=Transducer.encode)
             return out * 1e-3 + x, None
         out, _ = jax.lax.scan(body, x, None, length=n_chain)
         return jnp.sum(out)
 
-    best = _best_of(chain, x, divisor=n_chain)
+    best = _best_of(chain, params, x, divisor=n_chain)
     flops = transducer_flops(batch, t, 0, 0, include_joint=False)
     return flops / best / PEAK_FLOPS
 
@@ -206,7 +209,7 @@ def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
         compute_dtype=jnp.bfloat16, loss_chunk_size=16))
 
     @jax.jit
-    def chain(p, o):
+    def chain(p, o, batch_d):
         def body(carry, i):
             p, o, m = step(carry[0], carry[1], batch_d,
                            jax.random.fold_in(jax.random.PRNGKey(2), i))
@@ -214,7 +217,7 @@ def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
         (p, o), losses = jax.lax.scan(body, (p, o), jnp.arange(n_chain))
         return losses[-1]
 
-    return _best_of(chain, params, opt_state, divisor=n_chain) * 1e3
+    return _best_of(chain, params, opt_state, batch_d, divisor=n_chain) * 1e3
 
 
 def bench_beam_rtf(batch=8, t=410, width=5):
@@ -232,12 +235,12 @@ def bench_beam_rtf(batch=8, t=410, width=5):
     t_len = jnp.full((batch,), t)
 
     @jax.jit
-    def run(x, t_len):
+    def run(variables, x, t_len):
         enc = model.apply(variables, x, None, method=Transducer.encode)
         return beam_search_batched(model, variables, enc, t_len,
                                    beam_width=width)
 
-    dt = _timeit(run, x, t_len, iters=3)
+    dt = _timeit(run, variables, x, t_len, iters=3)
     return batch * t * FRAME_SECONDS / dt
 
 
@@ -257,18 +260,18 @@ def bench_rnnt_loss(batch=4, t=410, u=42, v=4334, n_chain=8):
     t_len = jnp.full((batch,), t)
     u_len = jnp.full((batch,), u)
 
-    grad_fn = jax.grad(lambda e, d_: rnnt_loss_fused(
-        e, d_, jp, y, t_len, u_len, chunk_size=16,
+    grad_fn = jax.grad(lambda e, d_, jp_: rnnt_loss_fused(
+        e, d_, jp_, y, t_len, u_len, chunk_size=16,
         compute_dtype=jnp.bfloat16))
 
     @jax.jit
-    def chain(enc):
+    def chain(enc, dec, jp):
         def body(c, _):
-            return c + grad_fn(c, dec) * 1e-3, None
+            return c + grad_fn(c, dec, jp) * 1e-3, None
         out, _ = jax.lax.scan(body, enc, None, length=n_chain)
         return jnp.sum(out)
 
-    return _best_of(chain, enc, divisor=n_chain) * 1e3
+    return _best_of(chain, enc, dec, jp, divisor=n_chain) * 1e3
 
 
 def bench_streaming_rtf(seconds=30):
