@@ -55,3 +55,27 @@ def test_espnet_config_builds():
                            jnp.asarray([4])))
     n = _count(shapes["params"])
     assert n > 10_000_000  # 8+2 layer 512-d model
+
+
+def test_build_family_dispatches_on_schema():
+    """models.factory picks the family from the espnet-schema marker
+    (model.mask) and returns initializable variables for the CLI apps."""
+    import jax.numpy as jnp
+    from transformer_transducer_tpu.models.factory import build_family
+    from transformer_transducer_tpu.utils.config import load_config
+
+    cfg = load_config("configs/aishell.yaml")
+    cfg.model.enc.n_layer = 1
+    cfg.model.dec.n_layer = 1
+    model, variables, is_espnet = build_family(cfg, 512)
+    assert not is_espnet and "encoder" in variables["params"]
+
+    ecfg = load_config("configs/espnet_aishell.yaml")
+    ecfg.model.enc.num_blocks = 1
+    ecfg.model.dec.num_blocks = 1
+    emodel, evars, e_is = build_family(ecfg, 512)
+    assert e_is and "joint" in evars["params"]
+    # espnet encode signature: (speech, lengths)
+    out = emodel.apply(evars, jnp.zeros((1, 8, 512)), jnp.asarray([8]),
+                       method="encode")
+    assert out.shape[0] == 1
