@@ -35,7 +35,7 @@ def main():
 
     import jax
     from transformer_transducer_tpu.utils.config import (
-        apply_overrides, load_config, stack_context)
+        apply_overrides, load_config, stack_context, subsample_factor)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
     from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
     from transformer_transducer_tpu.utils.metrics import batch_cer
@@ -58,7 +58,7 @@ def main():
     feats = F.subsample(F.stack_frames(
         F.logmel_masked(wave, rate, cfg.data.feature_dim or 128),
         left_ctx, right_ctx),
-        cfg.data.subsample or 3)
+        subsample_factor(cfg.data))
     t = feats.shape[0]
     if is_espnet:
         # the espnet encoder bands internally (model.mask); second arg is

@@ -75,3 +75,22 @@ def test_rnnt_loss_fused_use_pallas_matches_xla():
                           reduction="none", use_pallas=True)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(base),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_joint_relu_matches_oracle():
+    """The kernel's relu branch vs the XLA oracle (CLAUDE.md: every kernel
+    path needs an interpret-mode oracle test)."""
+    rng = np.random.RandomState(13)
+    b, t, u1, v, d, j = 2, 5, 4, 40, 8, 16
+    enc = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    dec = jnp.asarray(rng.randn(b, u1, d).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, v, size=(b, u1 - 1)))
+    jp = tuple(jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.3
+               for s in [(d, j), (d, j), (j,), (j, v), (v,)])
+    ref = rl.fused_grid_logprobs(enc, dec, jp, labels, chunk_size=2,
+                                 activation="relu")
+    got = fused_grid_logprobs_pallas(enc, dec, jp, labels,
+                                     interpret=INTERPRET, activation="relu")
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)

@@ -25,7 +25,8 @@ import numpy as np
 from transformer_transducer_tpu.data.wav import read_wave
 from transformer_transducer_tpu.ops import features_np as F
 from transformer_transducer_tpu.ops.augment import audio_augment
-from transformer_transducer_tpu.utils.config import stack_context
+from transformer_transducer_tpu.utils.config import (
+    stack_context, subsample_factor)
 from transformer_transducer_tpu.utils.vocab import Vocabulary
 
 
@@ -69,7 +70,7 @@ class AudioDataset:
         self.rows = read_manifest(data_cfg[split])
         self.feature_dim = data_cfg.feature_dim or 128
         self.left, self.right = stack_context(data_cfg)
-        self.subsample = data_cfg.subsample or 1
+        self.subsample = subsample_factor(data_cfg)
         self.max_input_length = data_cfg.max_input_length
         self.max_target_length = data_cfg.max_target_length
         self.ignore_id = data_cfg.ignore_id or 0

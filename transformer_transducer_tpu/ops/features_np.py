@@ -175,13 +175,15 @@ def stack_frames(features: np.ndarray, left: int = 3, right: int = 0) -> np.ndar
     t, d = features.shape
     pieces = []
     for offset in range(-left, right + 1):
+        # valid destination rows [lo, hi) take source rows [lo+offset,
+        # hi+offset); everything else is zero -- including sequences
+        # SHORTER than the stack width, where the naive ``[:t + offset]``
+        # negative slice wraps and produces wrong-length pieces (same fix
+        # as the jnp twin in ops/features.py)
         shifted = np.zeros_like(features)
-        if offset < 0:
-            shifted[-offset:] = features[:t + offset]
-        elif offset > 0:
-            shifted[:t - offset] = features[offset:]
-        else:
-            shifted = features
+        lo, hi = max(-offset, 0), min(t - offset, t)
+        if hi > lo:
+            shifted[lo:hi] = features[lo + offset:hi + offset]
         pieces.append(shifted)
     return np.concatenate(pieces, axis=1).astype(np.float32)
 

@@ -45,7 +45,8 @@ import numpy as np
 from transformer_transducer_tpu.models.transducer import Transducer
 from transformer_transducer_tpu.ops import features_np as F
 from transformer_transducer_tpu.ops.masks import context_mask, look_ahead_mask
-from transformer_transducer_tpu.utils.config import stack_context
+from transformer_transducer_tpu.utils.config import (
+    stack_context, subsample_factor)
 
 
 @dataclasses.dataclass
@@ -80,14 +81,14 @@ class StreamingConfig:
                        n_layer=cfg.model.enc.num_blocks,
                        feature_dim=cfg.data.feature_dim or 128,
                        stack_left=stack_context(cfg.data)[0],
-                       subsample=cfg.data.subsample or 3,
+                       subsample=subsample_factor(cfg.data),
                        seed_token=cfg.model.joint.vocab_size - 1)
         return cls(left_context=cfg.model.enc.left_context or 10,
                    right_context=cfg.model.enc.right_context or 2,
                    n_layer=cfg.model.enc.n_layer,
                    feature_dim=cfg.data.feature_dim or 128,
                    stack_left=stack_context(cfg.data)[0],
-                   subsample=cfg.data.subsample or 3)
+                   subsample=subsample_factor(cfg.data))
 
     @property
     def left_len(self) -> int:

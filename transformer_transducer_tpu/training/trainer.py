@@ -85,9 +85,9 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
 
         t_max = config.data.max_input_length
+        from transformer_transducer_tpu.utils.config import stack_context
         d_in = (config.data.feature_dim or 128) * (
-            1 + (config.data.left_context_width or 0)
-            + (config.data.right_context_width or 0))
+            1 + sum(stack_context(config.data)))
         dummy_x = jnp.zeros((1, min(t_max, 8), d_in))
         dummy_y = jnp.zeros((1, min(config.data.max_target_length, 4)),
                             dtype=jnp.int32)
@@ -206,11 +206,15 @@ class Trainer:
 
     def _record_step(self, epoch, loss, grad_norm, total_loss, steps, t0):
         show = self.config.training.show_interval or 10
+        showing = self.global_step % show == 0
+        if self.metrics is None and not showing:
+            return   # _current_lr() costs a device->host RPC per call with
+                     # a step schedule -- fetch only when actually recording
         lr = self._current_lr()
         if self.metrics is not None:
             self.metrics.add_scalar("train_loss", loss, self.global_step)
             self.metrics.add_scalar("learn_rate", lr, self.global_step)
-        if self.global_step % show == 0:
+        if showing:
             dt = time.perf_counter() - t0
             self.logger.info(
                 "-Training-Epoch:%d, Step:%d, lr:%.6f, GradNorm:%.4f, "
@@ -273,8 +277,11 @@ class Trainer:
         self (a fresh jit-wrapped closure per evaluate() call would
         re-trace/re-compile every epoch; compiles cost 20-200 s through the
         remote relay)."""
-        if getattr(self, "_eval_run", None) is not None:
-            return self._eval_run
+        cache = getattr(self, "_eval_runs", None)
+        if cache is None:
+            cache = self._eval_runs = {}
+        if max_tokens in cache:   # cache PER token budget, not first-wins
+            return cache[max_tokens]
 
         @jax.jit
         def run(params, inputs, t_len):
@@ -293,7 +300,7 @@ class Trainer:
             return greedy_decode(self.model, {"params": params}, enc, t_len,
                                  max_tokens=max_tokens, seed_token=seed)
 
-        self._eval_run = run
+        cache[max_tokens] = run
         return run
 
     def evaluate(self, epoch: int, loader, max_batches: Optional[int] = None,
@@ -380,11 +387,10 @@ class Trainer:
                 self.profile_epoch(epoch, train_loader, profile_dir)
             else:
                 self.train_epoch(epoch, train_loader)
-            if self.config.training.eval_or_not:
-                self.evaluate(epoch, dev_loader, max_batches=eval_batches)
-            # decay BEFORE save: the checkpoint must carry the LR the NEXT
+            # decay BEFORE save (the checkpoint must carry the LR the NEXT
             # epoch trains at, or a continue-mode resume stays one decay
-            # step behind an uninterrupted run forever
+            # step behind); save BEFORE evaluate (an eval failure must not
+            # lose the epoch's checkpoint)
             stop = False
             if self.config.optim.schedule is None:
                 if self.lr_ctl.maybe_decay(epoch):
@@ -393,6 +399,8 @@ class Trainer:
                 else:
                     stop = True
             self.save(epoch)
+            if self.config.training.eval_or_not:
+                self.evaluate(epoch, dev_loader, max_batches=eval_batches)
             if stop:
                 self.logger.info("The learning rate is too low to train.")
                 break

@@ -109,3 +109,12 @@ def stack_context(data_cfg):
     left = data_cfg.left_context_width
     right = data_cfg.right_context_width
     return (3 if left is None else left), (0 if right is None else right)
+
+
+def subsample_factor(data_cfg) -> int:
+    """Frame-subsampling factor from a ``data:`` block, framework-wide
+    default 3 (every shipped config sets it; None-respecting like
+    stack_context -- train and inference MUST agree or the frame rates
+    silently mismatch)."""
+    f = data_cfg.subsample
+    return 3 if f is None else f
