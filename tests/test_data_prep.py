@@ -209,3 +209,50 @@ def test_short_first_orders_train_rows(tmp_path):
     # non-train splits keep manifest order
     dev = AudioDataset(cfg, "dev", vocab)
     assert [len(r[1]) for r in dev.rows] == [4, 1, 2]
+
+
+def test_audio_duration_stats(tmp_path):
+    """audio-stats parity (reference ``audio_info``,
+    ``data/data_process.py:600-651``): subsampled frame counts
+    ceil(ceil(samples/160)/3), histogram + cumulative coverage."""
+    wavs = [_wav(tmp_path / f"d{i}.wav", n=3200 * (i + 1), seed=i)
+            for i in range(3)]
+    csv_path = str(tmp_path / "dur.csv")
+    prep.write_manifest(list(zip(wavs, ["a", "bb", "ccc"])), csv_path)
+    stats = prep.audio_duration_stats(csv_path)
+    # 3200*(i+1) samples -> ceil(ceil(3200*(i+1)/160)/3) = ceil(20*(i+1)/3)
+    expect = [-(-20 * (i + 1) // 3) for i in range(3)]
+    assert stats["count"] == 3
+    assert stats["max_frames"] == max(expect)
+    assert stats["max_file"] == wavs[2]
+    assert stats["mean_frames"] == pytest.approx(np.mean(expect))
+    assert stats["histogram"] == {n: 1 for n in expect}
+    # every utterance fits inside the first coverage limit (100 frames)
+    assert stats["coverage"][0]["limit"] == 100
+    assert stats["coverage"][0]["pct"] == 100.0
+
+
+def test_plot_features_tool(tmp_path):
+    """Mel-spectrogram image dump (reference ``tensor_to_img``,
+    ``tt/utils.py:332-336``) — wav and kaldi-matrix inputs both render."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "plot_features", os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "plot_features.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    wav = _wav(tmp_path / "p.wav", n=16000)
+    out = str(tmp_path / "p.png")
+    got = mod.main([wav, "--out", out, "--feature-dim", "32"])
+    assert got == out and os.path.getsize(out) > 1000
+
+    feats = mod.load_features(wav, feature_dim=32, stack=3, subsample=3)
+    assert feats.shape[1] == 32 * 4
+
+    mat = tmp_path / "m.mat"
+    kaldiio.write_mat(str(mat), np.random.RandomState(0)
+                      .randn(40, 16).astype(np.float32))
+    out2 = str(tmp_path / "m.png")
+    mod.main([str(mat), "--out", out2])
+    assert os.path.getsize(out2) > 1000

@@ -195,6 +195,41 @@ def target_length_stats(manifest: str) -> Dict[str, float]:
             "p99": float(np.percentile(arr, 99))}
 
 
+def audio_duration_stats(manifest: str, subsample: int = 3,
+                         hop: int = 160,
+                         coverage_step: int = 50,
+                         coverage_start: int = 100) -> Dict[str, object]:
+    """Utterance-duration statistics over a manifest (reference
+    ``audio_info``, ``data/data_process.py:600-651``): per-utterance
+    subsampled frame counts ``ceil(ceil(samples/hop)/subsample)``, their
+    histogram, max/mean, and the cumulative coverage table the reference
+    prints ("N utterances fit within L frames") at ``coverage_step``-frame
+    limits.  Pure host-side stats; feeds ``max_input_length`` choices."""
+    from transformer_transducer_tpu.data.dataset import read_manifest
+    frames: List[int] = []
+    max_frames, max_file = 0, ""
+    for path, _ in read_manifest(manifest):
+        wave, _rate = read_wave(path)
+        n = -(-(-(-len(wave) // hop)) // subsample)  # ceil(ceil(s/hop)/sub)
+        frames.append(n)
+        if n > max_frames:
+            max_frames, max_file = n, path
+    arr = np.asarray(frames)
+    hist: Dict[int, int] = {}
+    for n in frames:
+        hist[n] = hist.get(n, 0) + 1
+    coverage = []
+    for limit in range(coverage_start, max(max_frames, coverage_start) + 1,
+                       coverage_step):
+        valid = int((arr <= limit).sum())
+        coverage.append({"limit": limit, "count": valid,
+                         "pct": round(100.0 * valid / max(len(arr), 1), 2)})
+    return {"count": len(arr), "max_frames": max_frames,
+            "max_file": max_file, "mean_frames": float(arr.mean()),
+            "seconds_per_frame": hop * subsample / 16000.0,
+            "histogram": hist, "coverage": coverage}
+
+
 def clip_by_length(manifest: str, out_path: str, max_label_len: int = 42,
                    max_audio_seconds: float = 12.3,
                    check_audio: bool = False) -> Tuple[int, int]:
@@ -257,6 +292,11 @@ def main():  # pragma: no cover - thin CLI
     p = sub.add_parser("stats")
     p.add_argument("csv")
 
+    p = sub.add_parser("audio-stats",
+                       help="utterance frame-count histogram + coverage")
+    p.add_argument("csv")
+    p.add_argument("--subsample", type=int, default=3)
+
     p = sub.add_parser("clip")
     p.add_argument("csv")
     p.add_argument("--out", required=True)
@@ -284,6 +324,11 @@ def main():  # pragma: no cover - thin CLI
         print(f"{len(vocab)} units -> {args.out}")
     elif args.cmd == "stats":
         print(json.dumps(target_length_stats(args.csv), indent=2))
+    elif args.cmd == "audio-stats":
+        stats = audio_duration_stats(args.csv, subsample=args.subsample)
+        stats["histogram"] = {str(k): v
+                              for k, v in sorted(stats["histogram"].items())}
+        print(json.dumps(stats, indent=2))
     elif args.cmd == "clip":
         kept, dropped = clip_by_length(args.csv, args.out,
                                        args.max_label_len,
