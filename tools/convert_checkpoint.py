@@ -15,13 +15,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("chkpt")
     ap.add_argument("out_dir")
     ap.add_argument("--espnet", action="store_true",
                     help="source is the tt_espnet model family")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import torch
     from transformer_transducer_tpu.utils import torch_convert as tc
