@@ -220,6 +220,173 @@ def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
     return _best_of(chain, params, opt_state, batch_d, divisor=n_chain) * 1e3
 
 
+def bench_train_step_flagship(batch=4, t=410, u=42, n_chain=4):
+    """Training step at the FLAGSHIP streaming geometry — the reference's
+    actual product model (``config/joint_streaming.yaml:22-44``): 18-layer
+    encoder (d_inner 2048), 2-layer label encoder, joint inner 2048, vocab
+    6485 — bf16, scan-chained like ``bench_train_step``.  Returns
+    (ms_per_step, mfu)."""
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.training import optim as optim_lib
+    from transformer_transducer_tpu.training.train_step import (
+        TrainStepConfig, make_train_step)
+    from transformer_transducer_tpu.utils.config import Config
+
+    v = 6485
+    model = Transducer(vocab_size=v, enc=(18, 410, 8, 512, 64, 2048),
+                       dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
+                       compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, t, 512))
+    y = jax.random.randint(jax.random.PRNGKey(1), (batch, u), 1, v)
+    batch_d = {"inputs": x, "targets": y,
+               "inputs_length": jnp.full((batch,), t),
+               "targets_length": jnp.full((batch,), u)}
+    params = model.init(rng, x[:1, :8], y[:1, :4])["params"]
+    tx = optim_lib.build_optimizer(
+        Config({"type": "sgd", "lr": 2e-4, "momentum": 0.9}), 200.0)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, TrainStepConfig(
+        compute_dtype=jnp.bfloat16, loss_chunk_size=16))
+
+    @jax.jit
+    def chain(p, o, batch_d):
+        def body(carry, i):
+            p, o, m = step(carry[0], carry[1], batch_d,
+                           jax.random.fold_in(jax.random.PRNGKey(2), i))
+            return (p, o), m["loss"]
+        (p, o), losses = jax.lax.scan(body, (p, o), jnp.arange(n_chain))
+        return losses[-1]
+
+    ms = _best_of(chain, params, opt_state, batch_d, divisor=n_chain) * 1e3
+    flops = 3 * transducer_flops(batch, t, u + 1, v, inner=2048, n_enc=18,
+                                 n_dec=2, d_ffn=2048)
+    return ms, flops / (ms / 1e3) / PEAK_FLOPS
+
+
+def _flagship_streaming_parts():
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.streaming.session import StreamingConfig
+
+    model = Transducer(vocab_size=6485, enc=(18, 410, 8, 512, 64, 2048),
+                       dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
+                       compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 8, 512)),
+                           jnp.zeros((1, 4), jnp.int32))
+    # flagship halos: 18 layers x 10/2 = 180 left / 36 right frames
+    cfg = StreamingConfig(left_context=10, right_context=2, n_layer=18,
+                          feature_dim=128)
+    return model, variables, cfg
+
+
+def bench_streaming_rtf_flagship(seconds=30):
+    """Warm streaming RTF + cadence at the FLAGSHIP config (18-layer
+    encoder, 180/36-frame halos — ``audio/streamRec_unlimit_dynamic_window
+    .py:56-62``); same two regimes as ``bench_streaming_rtf``."""
+    import numpy as np
+    from transformer_transducer_tpu.streaming.session import StreamingSession
+
+    model, variables, cfg = _flagship_streaming_parts()
+    session = StreamingSession(model, variables, cfg)
+    rs = np.random.RandomState(0)
+    wav = (rs.randn(16000 * seconds) * 3000).astype("int16")
+    session.accept_waveform(wav)
+    session.finalize()
+    dt = 1e9
+    for _ in range(3):
+        session.reset()
+        t0 = time.perf_counter()
+        session.accept_waveform(wav)
+        session.finalize()
+        dt = min(dt, time.perf_counter() - t0)
+    session.reset()
+    t0 = time.perf_counter()
+    n_win = 0
+    for i in range(0, len(wav), cfg.audio_step):
+        session.accept_waveform(wav[i:i + cfg.audio_step])
+        n_win += 1
+    session.finalize()
+    lat_ms = (time.perf_counter() - t0) / n_win * 1e3
+    return seconds / dt, lat_ms
+
+
+def bench_multistream_flagship(n_streams=8, seconds=30):
+    """8-stream aggregate serving throughput at the FLAGSHIP config."""
+    import numpy as np
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+
+    model, variables, cfg = _flagship_streaming_parts()
+    session = BatchedStreamingSession(model, variables, cfg, n_streams)
+    rs = np.random.RandomState(0)
+    wavs = [(rs.randn(16000 * seconds) * 3000).astype("int16")
+            for _ in range(n_streams)]
+
+    def run():
+        session.reset()
+        for i, w in enumerate(wavs):
+            session.accept_waveform(i, w)
+            session.finalize(i)
+        session.run_to_completion()
+
+    run()
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        dt = min(dt, time.perf_counter() - t0)
+    return n_streams * seconds / dt
+
+
+def bench_rnnt_loss_cpu_ms(batch=4, t=410, u=42, v=4334):
+    """CPU fwd+bwd time of the SAME fused RNN-T loss at matched shapes — the
+    denominator for the ">=5x CPU warp-rnnt" north star (BASELINE.md:25).
+    Neither ``warprnnt_pytorch`` nor ``torchaudio`` is installed in this
+    image (and installs are disallowed), so the repo's own XLA lattice
+    compiled for CPU is the closest available stand-in, run in a fresh
+    subprocess (this process owns the TPU backend).  Single timed iteration
+    after a compile+warmup pass — CPU runs are seconds, not ms."""
+    import os
+    import subprocess
+
+    code = f"""
+import time
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from transformer_transducer_tpu.ops.rnnt_loss import rnnt_loss_fused
+b, t, u, v, d, inner = {batch}, {t}, {u}, {v}, 512, 1024
+rng = jax.random.PRNGKey(0)
+enc = jax.random.normal(rng, (b, t, d))
+dec = jax.random.normal(rng, (b, u + 1, d))
+y = jax.random.randint(jax.random.PRNGKey(1), (b, u), 1, v)
+jp = tuple(jax.random.normal(jax.random.PRNGKey(i), s) * 0.05
+           for i, s in enumerate([(d, inner), (d, inner), (inner,),
+                                  (inner, v), (v,)]))
+t_len = jnp.full((b,), t)
+u_len = jnp.full((b,), u)
+grad_fn = jax.jit(jax.grad(lambda e, d_, jp_: rnnt_loss_fused(
+    e, d_, jp_, y, t_len, u_len, chunk_size=16)))
+grad_fn(enc, dec, jp)[0].block_until_ready()
+best = 1e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    grad_fn(enc, dec, jp)[0].block_until_ready()
+    best = min(best, time.perf_counter() - t0)
+print(best * 1e3)
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, cwd=os.path.dirname(
+                             os.path.abspath(__file__)) or ".")
+    if out.returncode != 0:
+        print("cpu loss bench failed:", out.stderr[-500:], file=sys.stderr)
+        return None
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def bench_beam_rtf(batch=8, t=410, width=5):
     """Encoder + width-5 batched beam search (the reference's beam decode,
     ``tt/model.py:110-179``) on the aishell config."""
@@ -413,28 +580,44 @@ def main():
     step_ms = bench_train_step()
     step_ms32 = bench_train_step(batch=32)
     esp_step_ms = bench_train_step_espnet()
+    flag_ms, flag_mfu = bench_train_step_flagship()
     beam_rtf = bench_beam_rtf()
     loss_ms = bench_rnnt_loss()
+    cpu_loss_ms = bench_rnnt_loss_cpu_ms()
     enc_mfu = bench_encode_mfu()
     stream_rtf, stream_lat_ms = bench_streaming_rtf()
+    flag_rtf, flag_lat_ms = bench_streaming_rtf_flagship()
     multi_rtf = bench_multistream()
+    flag_multi_rtf = bench_multistream_flagship()
     dense_ms, banded_ms = bench_banded_attention()
     # MFU: standard convention — required model FLOPs (3x analytic forward;
     # remat recompute not credited) over measured time vs bf16 chip peak
     def train_mfu(b, ms):
         return 3 * transducer_flops(b, 410, 43, 4334) / (ms / 1e3) / PEAK_FLOPS
     print(json.dumps({
+        # "aishell" rows = 4-layer config (configs/aishell.yaml geometry);
+        # "flagship" rows = 18-layer joint_streaming config
+        # (configs/joint_streaming.yaml, the reference's product model)
         "train_step_ms_aishell_b4": round(step_ms, 2),
         "train_step_ms_aishell_b32": round(step_ms32, 2),
         "train_step_ms_espnet_b4": round(esp_step_ms, 2),
-        "beam5_x_realtime_b8": round(beam_rtf, 2),
-        "mfu_train_step_b4": round(train_mfu(4, step_ms), 4),
-        "mfu_train_step_b32": round(train_mfu(32, step_ms32), 4),
-        "mfu_offline_encode_b16": round(enc_mfu, 4),
+        "train_step_ms_flagship_b4": round(flag_ms, 2),
+        "beam5_x_realtime_b8_aishell": round(beam_rtf, 2),
+        "mfu_train_step_b4_aishell": round(train_mfu(4, step_ms), 4),
+        "mfu_train_step_b32_aishell": round(train_mfu(32, step_ms32), 4),
+        "mfu_train_step_b4_flagship": round(flag_mfu, 4),
+        "mfu_offline_encode_b16_aishell": round(enc_mfu, 4),
         "rnnt_loss_fwdbwd_ms_b4_t410_u42": round(loss_ms, 2),
-        "streaming_session_x_realtime_warm": round(stream_rtf, 2),
-        "streaming_cadence_ms_per_window": round(stream_lat_ms, 2),
-        "multistream_8_aggregate_x_realtime": round(multi_rtf, 2),
+        "rnnt_loss_cpu_fwdbwd_ms_b4_t410_u42": (
+            round(cpu_loss_ms, 1) if cpu_loss_ms else None),
+        "rnnt_loss_tpu_vs_cpu_x": (
+            round(cpu_loss_ms / loss_ms, 1) if cpu_loss_ms else None),
+        "streaming_x_realtime_warm_aishell": round(stream_rtf, 2),
+        "streaming_cadence_ms_per_window_aishell": round(stream_lat_ms, 2),
+        "streaming_x_realtime_warm_flagship": round(flag_rtf, 2),
+        "streaming_cadence_ms_per_window_flagship": round(flag_lat_ms, 2),
+        "multistream_8_aggregate_x_realtime_aishell": round(multi_rtf, 2),
+        "multistream_8_aggregate_x_realtime_flagship": round(flag_multi_rtf, 2),
         "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),
                                  "pallas": round(banded_ms, 3)},
         "backend": backend,

@@ -14,6 +14,7 @@ loss, batched jit greedy eval instead of the per-utterance Python loop.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import time
@@ -137,7 +138,8 @@ class Trainer:
         self.train_scan = (compile_train_scan(
             self.model, self.tx, self.mesh, self.params, self.opt_state,
             self.step_cfg) if self.steps_per_call > 1 else None)
-        self.eval_loss_step = make_eval_loss_step(self.model, self.step_cfg)
+        self.eval_loss_step = make_eval_loss_step(
+            self.model, self.step_cfg, mesh=self.mesh, params=self.params)
 
     # ------------------------------------------------------------------
     def _count_params(self):
@@ -276,14 +278,22 @@ class Trainer:
         """Jitted encode+greedy for evaluation — built ONCE and cached on
         self (a fresh jit-wrapped closure per evaluate() call would
         re-trace/re-compile every epoch; compiles cost 20-200 s through the
-        remote relay)."""
+        remote relay).  Sharded over the SAME mesh as training (batch on
+        'data', params per the sharding rules) so eval scales with the mesh
+        instead of running replicated on device 0."""
         cache = getattr(self, "_eval_runs", None)
         if cache is None:
             cache = self._eval_runs = {}
         if max_tokens in cache:   # cache PER token budget, not first-wins
             return cache[max_tokens]
 
-        @jax.jit
+        from transformer_transducer_tpu.parallel import sharding as sharding_lib
+        pspecs = sharding_lib.param_shardings(self.params, self.mesh)
+        bspec = mesh_lib.batch_sharding(self.mesh)
+        rspec = mesh_lib.replicated(self.mesh)
+
+        @functools.partial(jax.jit, in_shardings=(pspecs, bspec, bspec),
+                           out_shardings=rspec)
         def run(params, inputs, t_len):
             # espnet family: second positional arg is lengths (pad mask);
             # native family: it is the (absent) attention mask
@@ -303,12 +313,26 @@ class Trainer:
         cache[max_tokens] = run
         return run
 
+    @staticmethod
+    def _pad_batch(batch, size: int):
+        """Pad a partial final batch (drop_last=False) to ``size`` rows by
+        repeating row 0; returns (padded, n_valid).  One compiled shape then
+        serves every eval batch AND the 'data'-sharded batch axis stays
+        divisible by the mesh; the padding rows' outputs are discarded."""
+        n = len(batch["inputs"])
+        if n >= size:
+            return batch, n
+        padded = {k: np.concatenate([v, np.repeat(v[:1], size - n, axis=0)])
+                  for k, v in batch.items()}
+        return padded, n
+
     def evaluate(self, epoch: int, loader, max_batches: Optional[int] = None,
                  compute_loss: bool = True) -> float:
         total_dist, total_words = 0, 0
-        total_loss, loss_batches = 0.0, 0
+        total_loss, loss_utts = 0.0, 0
         dump_path = os.path.join(self.exp_dir, f"decode_{epoch}.txt")
         max_tokens = self.config.data.max_target_length + 1
+        batch_cap = self.config.data.batch_size or 1
 
         run = self._eval_decode_fn(max_tokens)
 
@@ -316,14 +340,17 @@ class Trainer:
             for bi, batch in enumerate(loader):
                 if max_batches is not None and bi >= max_batches:
                     break
+                batch, valid = self._pad_batch(batch, batch_cap)
                 if compute_loss:
-                    total_loss += float(self.eval_loss_step(
+                    losses = np.asarray(self.eval_loss_step(
                         self.params,
                         {k: jnp.asarray(v) for k, v in batch.items()}))
-                    loss_batches += 1
+                    total_loss += float(losses[:valid].sum())
+                    loss_utts += valid
                 tokens, counts = run(self.params, jnp.asarray(batch["inputs"]),
                                      jnp.asarray(batch["inputs_length"]))
-                preds = tokens_to_lists(np.asarray(tokens), np.asarray(counts))
+                preds = tokens_to_lists(np.asarray(tokens),
+                                        np.asarray(counts))[:valid]
                 refs = [list(batch["targets"][i][:batch["targets_length"][i]])
                         for i in range(len(preds))]
                 pred_txt = self.vocab.decode_batch(preds)
@@ -335,12 +362,12 @@ class Trainer:
                     dump.write("Transcripts:" + "".join(r) + "\n")
                     dump.write("---Predicts:" + "".join(p) + "\n")
         cer = 100.0 * total_dist / max(total_words, 1)
-        avg_loss = total_loss / max(loss_batches, 1)
+        avg_loss = total_loss / max(loss_utts, 1)
         self.logger.info("-Validation-Epoch:%d, AverageLoss: %.5f, "
                          "CER: %.5f %%", epoch, avg_loss, cer)
         if self.metrics is not None:
             self.metrics.add_scalar("cer", cer, epoch)
-            if loss_batches:
+            if loss_utts:
                 self.metrics.add_scalar("eval_loss", avg_loss, epoch)
         return cer
 
