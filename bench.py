@@ -387,9 +387,20 @@ print(best * 1e3)
     return float(out.stdout.strip().splitlines()[-1])
 
 
-def bench_beam_rtf(batch=8, t=410, width=5):
+def bench_beam_rtf(batch=8, t=410, width=5, emission_density=None):
     """Encoder + width-5 batched beam search (the reference's beam decode,
-    ``tt/model.py:110-179``) on the aishell config."""
+    ``tt/model.py:110-179``) on the aishell config.
+
+    ``emission_density=None`` keeps the random-init joint, whose gate argmax
+    is almost NEVER blank (1/V odds) — every frame expands, the worst case
+    for the emission-jump search.  Real trained models emit on ~10-20 % of
+    frames (see streaming/session.py), so ``emission_density=0.15`` builds a
+    CONTROLLED-density variant: the joint's dec-side weights are zeroed
+    (making the gate a pure per-frame function — a constant blank bias
+    cannot pin the rate of a random-weight model, measured swinging
+    0-100 % as the label state drifts) and the blank bias is set to the
+    (1-density)-quantile so the gate fires on exactly ~15 % of frames at
+    every decode state.  Compute shapes/FLOPs are unchanged."""
     from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.decoding.beam import beam_search_batched
 
@@ -400,6 +411,24 @@ def bench_beam_rtf(batch=8, t=410, width=5):
     x = jax.random.normal(rng, (batch, t, 512))
     variables = model.init(rng, x[:, :8], jnp.zeros((batch, 4), jnp.int32))
     t_len = jnp.full((batch,), t)
+
+    if emission_density is not None:
+        joint = variables["params"]["joint"]
+        w1 = joint["forward_layer"]["kernel"]
+        d_enc = w1.shape[0] // 2
+        joint["forward_layer"]["kernel"] = w1.at[d_enc:].set(0.0)
+        enc = model.apply(variables, x, None, method=Transducer.encode)
+        dec0 = model.apply(variables, jnp.zeros((1, 1), jnp.int32), None,
+                           method="predict")[:, 0]
+        logits = model.apply(
+            variables, enc.reshape(batch * t, -1),
+            jnp.broadcast_to(dec0, (batch * t, dec0.shape[-1])),
+            method="joint_logits")
+        diff = jnp.max(logits[:, 1:], axis=-1) - logits[:, 0]
+        bias = float(jnp.quantile(diff.astype(jnp.float32),
+                                  1.0 - emission_density))
+        joint["project_layer"]["bias"] = \
+            joint["project_layer"]["bias"].at[0].add(bias)
 
     @jax.jit
     def run(variables, x, t_len):
@@ -582,6 +611,7 @@ def main():
     esp_step_ms = bench_train_step_espnet()
     flag_ms, flag_mfu = bench_train_step_flagship()
     beam_rtf = bench_beam_rtf()
+    beam_rtf_15 = bench_beam_rtf(emission_density=0.15)
     loss_ms = bench_rnnt_loss()
     cpu_loss_ms = bench_rnnt_loss_cpu_ms()
     enc_mfu = bench_encode_mfu()
@@ -602,7 +632,8 @@ def main():
         "train_step_ms_aishell_b32": round(step_ms32, 2),
         "train_step_ms_espnet_b4": round(esp_step_ms, 2),
         "train_step_ms_flagship_b4": round(flag_ms, 2),
-        "beam5_x_realtime_b8_aishell": round(beam_rtf, 2),
+        "beam5_x_realtime_b8_aishell_dense": round(beam_rtf, 2),
+        "beam5_x_realtime_b8_aishell_15pct": round(beam_rtf_15, 2),
         "mfu_train_step_b4_aishell": round(train_mfu(4, step_ms), 4),
         "mfu_train_step_b32_aishell": round(train_mfu(32, step_ms32), 4),
         "mfu_train_step_b4_flagship": round(flag_mfu, 4),

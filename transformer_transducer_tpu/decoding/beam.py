@@ -50,12 +50,56 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
                      beam_width, max_tokens, blank)
 
 
+GATE_CHUNK = 32  # frames per gate window in the emission-jump loop
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _beam_run(model: Transducer, variables, enc_states: jax.Array,
               t_len: jax.Array, beam_width: int, max_tokens: int, blank: int):
+    """Emission-jump beam search (round-3 rewrite of the frame-scan).
+
+    The reference algorithm only mutates state on frames whose gate
+    (``argmax(joint(enc_t, dec_best))``) is non-blank — between expansions
+    every frame is a provable no-op, exactly like greedy RNN-T.  So instead
+    of a 410-step ``lax.scan`` (serial, latency-bound), a ``while_loop``
+    evaluates the gate for GATE_CHUNK frames at once (one MXU-shaped
+    batched joint per iteration, each batch row at its own frame cursor)
+    and jumps every row straight to its next expanding frame; expansions
+    then run the same top-k merge as before.  Iterations ~= max-per-row
+    #emissions + T/GATE_CHUNK instead of T; trajectories match the frame
+    scan (same gate, same expansion math, same lazily-recomputed
+    label-encoder states) — property-tested against the torch reference
+    oracle.  Worst case (every frame expands, e.g. an untrained model)
+    degrades to the old per-frame cost plus the gate overhead.
+
+    Per-iteration cost engineering: the joint is applied through its SPLIT
+    parameters (``joint_params_from_variables`` — the same
+    ``concat @ W == enc @ W_top + dec @ W_bot`` identity the fused loss
+    uses), so the encoder-side projection of every frame is computed ONCE
+    outside the loop and each iteration is one ``dynamic_slice`` window +
+    tanh + a single (K, V) MXU matmul; the label-side projections are
+    carried and refreshed only on expansion.
+    """
+    from transformer_transducer_tpu.ops.rnnt_loss import (
+        joint_params_from_variables)
+
     b, t_max, _ = enc_states.shape
     w = beam_width
+    k = GATE_CHUNK
+    cd = model.compute_dtype
     label_mask = look_ahead_mask(max_tokens)
+
+    w_enc, w_dec, b1, w_out, b_out = [
+        p.astype(cd) for p in joint_params_from_variables(variables)]
+    # encoder-side joint projection of every frame, computed once;
+    # padded so the per-row gate window never clamps at the sequence end
+    enc_proj = enc_states.astype(cd) @ w_enc + b1              # (B, T, J)
+    enc_proj = jnp.pad(enc_proj, ((0, 0), (0, k), (0, 0)))
+
+    def joint_split(he: jax.Array, hd: jax.Array) -> jax.Array:
+        """tanh(enc-side + dec-side) @ W_out, f32 logits (broadcasting)."""
+        h = jnp.tanh((he + hd).astype(cd))
+        return (h @ w_out + b_out).astype(jnp.float32)
 
     def predict_last(bufs: jax.Array, counts: jax.Array) -> jax.Array:
         """(N, U) token buffers -> (N, D) label-encoder state at counts-1."""
@@ -63,36 +107,49 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
         idx = (counts - 1)[:, None, None].astype(jnp.int32)
         return jnp.take_along_axis(dec, idx.repeat(dec.shape[-1], -1), 1)[:, 0]
 
-    def joint(enc_t: jax.Array, dec: jax.Array) -> jax.Array:
-        return model.apply(variables, enc_t, dec, method="joint_logits")
-
-    def compute_dec(beams, counts):
+    def compute_dec_proj(beams, counts):
+        """Label-side joint projections for all beams, (B, W, J)."""
         flat_beams = beams.reshape(b * w, max_tokens)
         flat_counts = counts.reshape(b * w)
-        return predict_last(flat_beams, flat_counts).reshape(b, w, -1)
+        dec = predict_last(flat_beams, flat_counts)            # (B*W, D)
+        return (dec.astype(cd) @ w_dec).reshape(b, w, -1)
 
-    def step(state, t):
-        # dec is carried and only recomputed after a frame that expanded the
-        # beams (identical numerics: the label encoder is deterministic)
-        beams, counts, probs, first, dec, stale = state
+    def cond(state):
+        return jnp.any(state[5] < t_len)
 
-        dec = jax.lax.cond(stale, lambda: compute_dec(beams, counts),
-                           lambda: dec)
+    def step(state):
+        # dec_proj is carried and only recomputed after an iteration that
+        # expanded the beams (identical numerics: deterministic encoder)
+        beams, counts, probs, first, dec_proj, cur_t, stale = state
+
+        dec_proj = jax.lax.cond(
+            stale, lambda: compute_dec_proj(beams, counts), lambda: dec_proj)
         best = jnp.argmax(probs, axis=1)                       # (B,)
-        dec_best = jnp.take_along_axis(
-            dec, best[:, None, None].repeat(dec.shape[-1], -1), 1)[:, 0]
-        enc_t = enc_states[:, t]                               # (B, D)
-        gate_logits = joint(enc_t, dec_best)                   # (B, V)
-        expand = (jnp.argmax(gate_logits, -1) != blank) & (t < t_len)
+        dp_best = jnp.take_along_axis(
+            dec_proj, best[:, None, None].repeat(dec_proj.shape[-1], -1),
+            1)[:, 0]                                           # (B, J)
 
-        # all-beam candidate scores
-        logits = joint(enc_t[:, None].repeat(w, 1).reshape(b * w, -1),
-                       dec.reshape(b * w, -1))
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        logp = logp.at[:, blank].set(NEG)                      # non-blank top-w
-        vals, idxs = jax.lax.top_k(logp, w)                    # (B*W, W)
-        vals = vals.reshape(b, w, w)
-        idxs = idxs.reshape(b, w, w)
+        # gate over a K-frame window per row: next frame whose argmax is
+        # non-blank under the CURRENT best hypothesis
+        enc_win = jax.vmap(
+            lambda e, t0: jax.lax.dynamic_slice_in_dim(e, t0, k))(
+                enc_proj, cur_t)                               # (B, K, J)
+        gate_logits = joint_split(enc_win, dp_best[:, None])   # (B, K, V)
+        win_idx = cur_t[:, None] + jnp.arange(k)[None, :]      # (B, K)
+        cand = (jnp.argmax(gate_logits, -1) != blank) & (win_idx < t_len[:, None])
+        any_cand = jnp.any(cand, axis=1)                       # (B,)
+        emit_t = jnp.where(any_cand, cur_t + jnp.argmax(cand, axis=1),
+                           jnp.minimum(cur_t + k, t_len))
+        expand = any_cand
+
+        # all-beam candidate scores at each row's emission frame
+        enc_pt = jax.vmap(
+            lambda e, t0: jax.lax.dynamic_slice_in_dim(e, t0, 1))(
+                enc_proj, jnp.minimum(emit_t, t_max - 1))      # (B, 1, J)
+        logits = joint_split(enc_pt, dec_proj)                 # (B, W, V)
+        logp = jax.nn.log_softmax(logits, -1)
+        logp = logp.at[:, :, blank].set(NEG)                   # non-blank top-w
+        vals, idxs = jax.lax.top_k(logp, w)                    # (B, W, W)
 
         # children: first expansion seeds from the best row; otherwise 5x5
         child_first = jnp.take_along_axis(
@@ -132,16 +189,17 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
         counts = jnp.where(e, appended_counts, counts)
         probs = jnp.where(e, new_probs, probs)
         first = jnp.where(expand, False, first)
-        return (beams, counts, probs, first, dec, expand.any()), None
+        cur_t = jnp.where(expand, emit_t + 1, emit_t)
+        return (beams, counts, probs, first, dec_proj, cur_t, expand.any())
 
     beams0 = jnp.full((b, w, max_tokens), blank, jnp.int32)
     counts0 = jnp.ones((b, w), jnp.int32)
     probs0 = jnp.zeros((b, w), jnp.float32)
     first0 = jnp.ones((b,), bool)
-    dec0 = compute_dec(beams0, counts0)
-    (beams, counts, probs, _, _, _), _ = jax.lax.scan(
-        step, (beams0, counts0, probs0, first0, dec0,
-               jnp.asarray(False)), jnp.arange(t_max))
+    dp0 = compute_dec_proj(beams0, counts0)
+    beams, counts, probs, _, _, _, _ = jax.lax.while_loop(
+        cond, step, (beams0, counts0, probs0, first0, dp0,
+                     jnp.zeros((b,), t_len.dtype), jnp.asarray(False)))
 
     order = jnp.argsort(-probs, axis=1)
     beams = jnp.take_along_axis(beams,

@@ -79,9 +79,6 @@ def make_loss_fn(model, cfg: TrainStepConfig,
         # loss lattice past the valid frames
         t_len = model.encoded_lengths(batch["inputs_length"], inputs.shape[1]) \
             if is_espnet else batch["inputs_length"]
-        # eval never differentiates -> the forward-only Pallas joint+LSE
-        # kernel is safe there (and marginally faster than the XLA chunks
-        # on TPU; see rnnt_loss_fused docstring for the measurement)
         # the espnet joint supports relu — the fused loss must apply the
         # SAME activation the model's joint_logits/decoding use
         act = getattr(model, "joint_activation", "tanh") or "tanh"
@@ -90,8 +87,6 @@ def make_loss_fn(model, cfg: TrainStepConfig,
                                chunk_size=cfg.loss_chunk_size,
                                compute_dtype=cfg.compute_dtype,
                                reduction=reduction,
-                               use_pallas=(not train and
-                                           jax.default_backend() == "tpu"),
                                remat=cfg.loss_remat,
                                activation=act)
     return loss_fn
