@@ -151,12 +151,15 @@ def bench_train_step(batch=4, t=410, u=42, n_chain=8):
                     divisor=n_chain) * 1e3  # ms/step
 
 
-def bench_encode_mfu(batch=16, t=410, n_chain=16):
+def bench_encode_mfu(batch=16, t=410, n_chain=64):
     """Encoder-only MFU at a saturating batch (aishell config, bf16).
 
     ``n_chain`` encoder applications chain inside one program (the output is
     d_model-sized like the input, so each feeds the next) — a single encode
-    is ~1 ms of chip time, far below the relay dispatch floor.
+    is ~4 ms of chip time, far below the relay dispatch floor; 64
+    applications keep the residual per-call dispatch share under ~10 %
+    (the round-2 16-chains under-reported MFU by ~25 %).  See DESIGN.md
+    §2a for the measured roofline decomposition of this number.
     """
     from transformer_transducer_tpu.models.transducer import Transducer
 
