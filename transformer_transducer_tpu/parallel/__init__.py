@@ -1,2 +1,3 @@
 from transformer_transducer_tpu.parallel import mesh  # noqa: F401
+from transformer_transducer_tpu.parallel import sequence  # noqa: F401
 from transformer_transducer_tpu.parallel import sharding  # noqa: F401
