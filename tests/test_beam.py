@@ -141,3 +141,24 @@ def test_reference_exact_beam_matches_torch():
     enc = model.apply(variables, jnp.asarray(x), None, method="encode")
     got = beam_search_reference_exact(model, variables, np.asarray(enc)[0], 8)
     assert got == ref_res[0], f"{got} != {ref_res[0]}"
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_beam_cache_matches_recompute(seed):
+    """use_cache=True (parent-gathered incremental KV label encoding) must
+    reproduce the full-recompute path exactly — beams, counts AND scores."""
+    from transformer_transducer_tpu.decoding.beam import beam_search_batched
+    model, variables = _tiny_model(seed=seed)
+    rng = np.random.RandomState(40 + seed)
+    enc = jnp.asarray(rng.randn(3, 12, 8).astype(np.float32) * 2)
+    t_len = jnp.asarray([12, 9, 5])
+    b_c, c_c, p_c = beam_search_batched(model, variables, enc, t_len,
+                                        beam_width=3, max_tokens=6,
+                                        use_cache=True)
+    b_r, c_r, p_r = beam_search_batched(model, variables, enc, t_len,
+                                        beam_width=3, max_tokens=6,
+                                        use_cache=False)
+    np.testing.assert_array_equal(np.asarray(c_c), np.asarray(c_r))
+    np.testing.assert_array_equal(np.asarray(b_c), np.asarray(b_r))
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_r),
+                               rtol=1e-5, atol=1e-5)

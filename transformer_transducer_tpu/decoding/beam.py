@@ -37,9 +37,15 @@ NEG = -1e30
 
 def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
                         t_len: jax.Array, beam_width: int = 5,
-                        max_tokens: int = 43, blank: int = 0):
+                        max_tokens: int = 43, blank: int = 0,
+                        use_cache: bool = True):
     """Beam search over a batch.  Returns (tokens (B, W, U), counts (B, W),
     probs (B, W)) sorted best-first.
+
+    ``use_cache``: incremental KV-cached label encoding with parent-gather
+    on every expansion (``decoding/label_cache.py``) instead of re-encoding
+    all W full histories; numerics-equal (the histories never shift — the
+    cap simply stops appends), property-tested against ``use_cache=False``.
 
     Jit boundary: ``_beam_run`` is module-level with the (hashable) model as
     a static argument, so the compiled program is cached across calls and the
@@ -47,15 +53,16 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
     serialized HLO as literal constants (hundreds of MB at flagship size).
     """
     return _beam_run(model, variables, enc_states, t_len,
-                     beam_width, max_tokens, blank)
+                     beam_width, max_tokens, blank, use_cache)
 
 
 GATE_CHUNK = 32  # frames per gate window in the emission-jump loop
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _beam_run(model: Transducer, variables, enc_states: jax.Array,
-              t_len: jax.Array, beam_width: int, max_tokens: int, blank: int):
+              t_len: jax.Array, beam_width: int, max_tokens: int, blank: int,
+              use_cache: bool = False):
     """Emission-jump beam search (round-3 rewrite of the frame-scan).
 
     The reference algorithm only mutates state on frames whose gate
@@ -114,16 +121,25 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
         dec = predict_last(flat_beams, flat_counts)            # (B*W, D)
         return (dec.astype(cd) @ w_dec).reshape(b, w, -1)
 
+    if use_cache:
+        from transformer_transducer_tpu.decoding import label_cache as lc
+        params_tree = variables["params"] if "params" in variables else variables
+
     def cond(state):
         return jnp.any(state[5] < t_len)
 
     def step(state):
-        # dec_proj is carried and only recomputed after an iteration that
-        # expanded the beams (identical numerics: deterministic encoder)
-        beams, counts, probs, first, dec_proj, cur_t, stale = state
+        # no-cache mode: dec_proj is carried and only recomputed after an
+        # iteration that expanded the beams (aux == stale flag; identical
+        # numerics — the label encoder is deterministic).  cache mode:
+        # dec_proj is refreshed eagerly at expansion time via the KV cache
+        # (aux == the cache pytree), one incremental token per beam.
+        beams, counts, probs, first, dec_proj, cur_t, aux = state
 
-        dec_proj = jax.lax.cond(
-            stale, lambda: compute_dec_proj(beams, counts), lambda: dec_proj)
+        if not use_cache:
+            dec_proj = jax.lax.cond(
+                aux, lambda: compute_dec_proj(beams, counts),
+                lambda: dec_proj)
         best = jnp.argmax(probs, axis=1)                       # (B,)
         dp_best = jnp.take_along_axis(
             dec_proj, best[:, None, None].repeat(dec_proj.shape[-1], -1),
@@ -190,16 +206,70 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
         probs = jnp.where(e, new_probs, probs)
         first = jnp.where(expand, False, first)
         cur_t = jnp.where(expand, emit_t + 1, emit_t)
-        return (beams, counts, probs, first, dec_proj, cur_t, expand.any())
+
+        if not use_cache:
+            return (beams, counts, probs, first, dec_proj, cur_t,
+                    expand.any())
+
+        def do_update(args):
+            """Parent-gather every beam's KV cache, append the one new
+            token, and refresh the label-side joint projections."""
+            dec_proj, cache = args
+
+            def g2(a):  # (B, W, ...) gathered by parents along the W axis
+                return jax.vmap(lambda ab, pb: ab[pb])(a, parents)
+
+            def gboth(rows):  # cache leaf (B*W, ...) -> parent rows
+                return g2(rows.reshape(b, w, *rows.shape[1:])) \
+                    .reshape(rows.shape)
+
+            gathered = {"k": [gboth(c) for c in cache["k"]],
+                        "v": [gboth(c) for c in cache["v"]],
+                        "idx": gboth(cache["idx"])}
+            upd = (e & can_append).reshape(b * w)
+            x, new_cache = lc.step(params_tree, new_toks.reshape(b * w),
+                                   gathered, upd)
+            new_dp = (x.astype(cd) @ w_dec).reshape(b, w, -1)
+            dp = jnp.where(can_append[:, :, None], new_dp, g2(dec_proj))
+            dp = jnp.where(e[:, :, None], dp, dec_proj)
+
+            # rows whose batch entry did not expand keep their ORIGINAL
+            # cache (the gathered parent rows would reshuffle them)
+            row_e = jnp.repeat(expand, w)                      # (B*W,)
+
+            def merge(new, old):
+                m = row_e.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            cache = {"k": [merge(nk, ok) for nk, ok
+                           in zip(new_cache["k"], cache["k"])],
+                     "v": [merge(nv, ov) for nv, ov
+                           in zip(new_cache["v"], cache["v"])],
+                     "idx": jnp.where(row_e, new_cache["idx"],
+                                      cache["idx"])}
+            return dp, cache
+
+        dec_proj, cache = jax.lax.cond(expand.any(), do_update,
+                                       lambda args: args, (dec_proj, aux))
+        return (beams, counts, probs, first, dec_proj, cur_t, cache)
 
     beams0 = jnp.full((b, w, max_tokens), blank, jnp.int32)
     counts0 = jnp.ones((b, w), jnp.int32)
     probs0 = jnp.zeros((b, w), jnp.float32)
     first0 = jnp.ones((b,), bool)
-    dp0 = compute_dec_proj(beams0, counts0)
+    if use_cache:
+        cache0 = lc.init_cache(params_tree, b * w, max_tokens)
+        x0, cache0 = lc.step(params_tree,
+                             jnp.full((b * w,), blank, jnp.int32), cache0,
+                             jnp.ones((b * w,), bool))
+        dp0 = (x0.astype(cd) @ w_dec).reshape(b, w, -1)
+        aux0 = cache0
+    else:
+        dp0 = compute_dec_proj(beams0, counts0)
+        aux0 = jnp.asarray(False)
     beams, counts, probs, _, _, _, _ = jax.lax.while_loop(
         cond, step, (beams0, counts0, probs0, first0, dp0,
-                     jnp.zeros((b,), t_len.dtype), jnp.asarray(False)))
+                     jnp.zeros((b,), t_len.dtype), aux0))
 
     order = jnp.argsort(-probs, axis=1)
     beams = jnp.take_along_axis(beams,
