@@ -162,3 +162,15 @@ def test_beam_cache_matches_recompute(seed):
     np.testing.assert_array_equal(np.asarray(b_c), np.asarray(b_r))
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_r),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_beam_rejects_espnet_layout():
+    """The emission-jump beam walks the native joint/decoder param trees
+    directly; a non-native layout (espnet additive joint) must fail with a
+    clear contract error, not an opaque KeyError deep in the loop."""
+    from transformer_transducer_tpu.decoding.beam import beam_search_batched
+    model, _ = _tiny_model(seed=0)
+    fake_vars = {"params": {"joint": {"lin_enc": {}}, "decoder": {}}}
+    with pytest.raises(ValueError, match="native"):
+        beam_search_batched(model, fake_vars, jnp.zeros((1, 4, 8)),
+                            jnp.asarray([4]))

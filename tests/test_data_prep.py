@@ -230,6 +230,14 @@ def test_audio_duration_stats(tmp_path):
     # every utterance fits inside the first coverage limit (100 frames)
     assert stats["coverage"][0]["limit"] == 100
     assert stats["coverage"][0]["pct"] == 100.0
+    # the final coverage bucket must always reach 100% (the table is
+    # rounded UP to the next step past max_frames — round-3 regression:
+    # a max of e.g. 130 frames used to stop the table at limit 100)
+    stats2 = prep.audio_duration_stats(csv_path, coverage_start=10,
+                                       coverage_step=7)
+    assert stats2["coverage"][-1]["limit"] >= stats2["max_frames"]
+    assert stats2["coverage"][-1]["pct"] == 100.0
+    assert stats2["coverage"][-1]["limit"] - stats2["max_frames"] < 7
 
 
 def test_plot_features_tool(tmp_path):

@@ -73,6 +73,38 @@ def test_sp_interior_matches_dense_path(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sp_left_zero(setup):
+    """left=0 (pure look-ahead band) must still match the oracle — a
+    ``h[:, -left:]`` slice would silently grab the WHOLE shard here
+    (round-3 regression)."""
+    model, variables, x = setup
+    mesh = seq_mesh(4)
+    got = np.asarray(encode_banded_sp(model, variables, x, mesh, 0, RIGHT,
+                                      window_len=W))
+    ref = np.asarray(encode_banded_sp_oracle(model, variables, x, 4, 0,
+                                             RIGHT, window_len=W))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_right_zero(setup):
+    """right=0 (causal band) exchanges no right halo."""
+    model, variables, x = setup
+    mesh = seq_mesh(4)
+    got = np.asarray(encode_banded_sp(model, variables, x, mesh, LEFT, 0,
+                                      window_len=W))
+    ref = np.asarray(encode_banded_sp_oracle(model, variables, x, 4, LEFT,
+                                             0, window_len=W))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_seq_mesh_rejects_overask():
+    """seq_mesh must raise, not silently truncate, when asked for more
+    devices than exist — a silent 1-device mesh would skip the ppermute
+    path and make shard-invariance tests vacuous."""
+    with pytest.raises(ValueError, match="requested"):
+        seq_mesh(len(jax.devices()) + 1)
+
+
 def test_sp_rejects_undersized_shards(setup):
     model, variables, x = setup
     mesh = seq_mesh(8)  # shard of 4 == left is ok; left=5 is not

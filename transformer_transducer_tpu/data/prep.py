@@ -219,8 +219,12 @@ def audio_duration_stats(manifest: str, subsample: int = 3,
     for n in frames:
         hist[n] = hist.get(n, 0) + 1
     coverage = []
-    for limit in range(coverage_start, max(max_frames, coverage_start) + 1,
-                       coverage_step):
+    # round the top limit UP to the next step so the final bucket (the one
+    # holding max_frames, where coverage reaches 100%) is always printed
+    top = max(max_frames, coverage_start)
+    top = coverage_start + -(-(top - coverage_start) // coverage_step) \
+        * coverage_step
+    for limit in range(coverage_start, top + 1, coverage_step):
         valid = int((arr <= limit).sum())
         coverage.append({"limit": limit, "count": valid,
                          "pct": round(100.0 * valid / max(len(arr), 1), 2)})

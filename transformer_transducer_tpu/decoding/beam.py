@@ -51,7 +51,20 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
     a static argument, so the compiled program is cached across calls and the
     parameters stay jit ARGUMENTS — a closure would bake them into the
     serialized HLO as literal constants (hundreds of MB at flagship size).
+
+    Model contract: NATIVE family only (``models.transducer.Transducer``
+    param layout — the split-joint projection and the KV label cache walk
+    the concat ``JointNetwork`` / ``LabelEncoder`` trees directly).  The
+    reference ships beam search only for this family too
+    (``tt/model.py:110-179``); espnet-variant decoding is greedy.
     """
+    params = variables["params"] if "params" in variables else variables
+    if "forward_layer" not in params.get("joint", {}):
+        raise ValueError(
+            "beam_search_batched requires the native Transducer param "
+            "layout (joint/forward_layer); the espnet family's additive "
+            "joint is not supported — use greedy decoding "
+            "(decoding.greedy), matching the reference surface.")
     return _beam_run(model, variables, enc_states, t_len,
                      beam_width, max_tokens, blank, use_cache)
 

@@ -43,6 +43,9 @@ def seq_mesh(n: Optional[int] = None, devices=None) -> Mesh:
     """A 1-axis ('seq',) mesh over ``n`` devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = n or len(devices)
+    if n > len(devices):
+        raise ValueError(f"seq_mesh: requested {n} devices but only "
+                         f"{len(devices)} available")
     return Mesh(np.asarray(devices[:n]), (SEQ_AXIS,))
 
 
@@ -98,11 +101,15 @@ def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
         off = jnp.where(idx == 0, 0, left)
         h = xs
         for i in range(n_layer):
-            if n > 1:
-                lh = jax.lax.ppermute(h[:, -left:], axis, send_right)
-                rh = jax.lax.ppermute(h[:, :right], axis, send_left)
+            # NB: slice with `shard - left`, not `-left` — a negative-zero
+            # slice (`h[:, -0:]`) would grab the WHOLE shard when left == 0
+            if n > 1 and left > 0:
+                lh = jax.lax.ppermute(h[:, shard - left:], axis, send_right)
             else:
                 lh = jnp.zeros((b, left, d), h.dtype)
+            if n > 1 and right > 0:
+                rh = jax.lax.ppermute(h[:, :right], axis, send_left)
+            else:
                 rh = jnp.zeros((b, right, d), h.dtype)
             # the last shard's right halo wrapped around from shard 0:
             # past-the-end frames are zero rows (streaming tail convention)
