@@ -160,8 +160,12 @@ def test_beam_cache_matches_recompute(seed):
                                         use_cache=False)
     np.testing.assert_array_equal(np.asarray(c_c), np.asarray(c_r))
     np.testing.assert_array_equal(np.asarray(b_c), np.asarray(b_r))
-    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_r),
-                               rtol=1e-5, atol=1e-5)
+    # trajectories (beams/counts) are bit-equal on both backends; the scores
+    # pick up the usual bf16-MXU grouping delta (~2e-3) on real TPU because
+    # the incremental and dense label encodings order the matmuls differently
+    tol = (dict(rtol=1e-5, atol=1e-5) if jax.default_backend() != "tpu"
+           else dict(rtol=3e-3, atol=3e-3))
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_r), **tol)
 
 
 def test_beam_rejects_espnet_layout():
