@@ -267,6 +267,58 @@ def test_joint_params_from_tied_variables():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_joint_params_split_with_unequal_enc_dec_dims():
+    """Regression: the concat joint kernel split must use the TRUE encoder
+    width when enc.d_model != dec.d_model — the half-split default would
+    silently mis-assign rows and train a different function than the model
+    computes."""
+    import jax
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.ops.rnnt_loss import (
+        joint_params_from_variables)
+
+    model = Transducer(vocab_size=9, enc=(1, 16, 2, 8, 4, 12),
+                       dec=(1, 8, 2, 4, 2, 6), joint_inner=8)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 6, 8).astype(np.float32))
+    y = jnp.asarray(rng.randint(1, 9, size=(2, 3)))
+    variables = model.init(jax.random.PRNGKey(0), x, y)
+    t_len = jnp.asarray([6, 5])
+    u_len = jnp.asarray([3, 2])
+
+    logits = model.apply(variables, x, y)
+    oracle = rl.rnnt_loss(logits, y, t_len, u_len, reduction="none")
+    enc, dec = model.apply(variables, x, y, method=Transducer.encode_both)
+    assert enc.shape[-1] == 8 and dec.shape[-1] == 4
+    jp = joint_params_from_variables(variables)
+    assert jp[0].shape[0] == 8 and jp[1].shape[0] == 4
+    fused = rl.rnnt_loss_fused(enc, dec, jp, y, t_len, u_len, chunk_size=2,
+                               reduction="none")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_overlength_lengths_clamp_to_grid():
+    """Regression: t_len > T (or u_len > U) used to place the terminal cell
+    off-grid — finite garbage loss, exact-zero gradients, a silent training
+    no-op.  Lengths now clamp to the grid: loss/grads equal the full-grid
+    (t_len=T, u_len=U) values and gradients stay alive."""
+    rng = np.random.RandomState(3)
+    b_, t_, u1 = 2, 6, 4
+    lp_b = jnp.asarray(np.log(rng.dirichlet(np.ones(3), size=(b_, t_, u1))[..., 0]).astype(np.float32))
+    lp_l = jnp.asarray(np.log(rng.dirichlet(np.ones(3), size=(b_, t_, u1))[..., 1]).astype(np.float32))
+    good_t = jnp.asarray([t_, t_]); good_u = jnp.asarray([u1 - 1, u1 - 1])
+    bad_t = jnp.asarray([t_ + 40, t_]); bad_u = jnp.asarray([u1 - 1, u1 + 9])
+
+    l_good, g_good = jax.value_and_grad(
+        lambda a, b: rl.rnnt_loss_grid(a, b, good_t, good_u).sum())(lp_b, lp_l)
+    l_bad, g_bad = jax.value_and_grad(
+        lambda a, b: rl.rnnt_loss_grid(a, b, bad_t, bad_u).sum())(lp_b, lp_l)
+    np.testing.assert_allclose(np.asarray(l_bad), np.asarray(l_good), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_bad), np.asarray(g_good), rtol=1e-6)
+    assert float(jnp.abs(g_bad).sum()) > 0.0
+
+
 def test_zero_t_len_row_is_inert():
     """Regression: a fully-padded batch row (t_len == 0) must contribute
     zero loss and zero gradients, not a wrapped-gather garbage value."""

@@ -66,6 +66,49 @@ def test_vocab_roundtrip(tmp_path):
     assert v2.decode([1, 2]) == ["a", "b"]
 
 
+def test_optimizer_parity_with_torch():
+    """sgd/adam/adadelta with weight decay track torch.optim step-for-step:
+    the reference's factory (tt/optim.py:56-75) uses torch's L2-style decay
+    (grad += wd*param BEFORE the moment updates), not decoupled AdamW decay."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import torch
+    from transformer_transducer_tpu.training import optim as optim_lib
+    from transformer_transducer_tpu.utils.config import Config
+
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(7, 3).astype(np.float32)
+    grads = [rng.randn(7, 3).astype(np.float32) for _ in range(5)]
+    cases = [
+        ({"type": "adam", "lr": 1e-3, "weight_decay": 0.05},
+         lambda p: torch.optim.Adam([p], lr=1e-3, betas=(0.9, 0.98),
+                                    eps=1e-8, weight_decay=0.05)),
+        ({"type": "sgd", "lr": 1e-2, "momentum": 0.9, "weight_decay": 0.05},
+         lambda p: torch.optim.SGD([p], lr=1e-2, momentum=0.9,
+                                   weight_decay=0.05)),
+        ({"type": "adadelta", "lr": 0.5, "rho": 0.95, "eps": 1e-6,
+          "weight_decay": 0.05},
+         lambda p: torch.optim.Adadelta([p], lr=0.5, rho=0.95, eps=1e-6,
+                                        weight_decay=0.05)),
+    ]
+    for cfg, make_topt in cases:
+        tx = optim_lib.build_optimizer(Config(cfg))
+        params = {"w": jnp.asarray(p0)}
+        state = tx.init(params)
+        tp = torch.nn.Parameter(torch.tensor(p0))
+        topt = make_topt(tp)
+        for g in grads:
+            updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = optax.apply_updates(params, updates)
+            tp.grad = torch.tensor(g)
+            topt.step()
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tp.detach().numpy(),
+            rtol=2e-5, atol=2e-5,
+            err_msg=f"optimizer {cfg['type']} diverged from torch")
+
+
 def test_step_decay_schedule_selectable():
     """optim.schedule: step_decay wires the warmup-hold-decay schedule
     (the reference's step_decay_lr is buggy AND unreachable,

@@ -121,17 +121,14 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
         h = jnp.tanh((he + hd).astype(cd))
         return (h @ w_out + b_out).astype(jnp.float32)
 
-    def predict_last(bufs: jax.Array, counts: jax.Array) -> jax.Array:
-        """(N, U) token buffers -> (N, D) label-encoder state at counts-1."""
-        dec = model.apply(variables, bufs, label_mask, method="predict")
-        idx = (counts - 1)[:, None, None].astype(jnp.int32)
-        return jnp.take_along_axis(dec, idx.repeat(dec.shape[-1], -1), 1)[:, 0]
-
     def compute_dec_proj(beams, counts):
         """Label-side joint projections for all beams, (B, W, J)."""
+        from transformer_transducer_tpu.decoding.greedy import (
+            predict_last_state)
         flat_beams = beams.reshape(b * w, max_tokens)
         flat_counts = counts.reshape(b * w)
-        dec = predict_last(flat_beams, flat_counts)            # (B*W, D)
+        dec = predict_last_state(model, variables, flat_beams, flat_counts,
+                                 label_mask)                   # (B*W, D)
         return (dec.astype(cd) @ w_dec).reshape(b, w, -1)
 
     if use_cache:
@@ -308,15 +305,34 @@ def recognize_beam(model: Transducer, variables, inputs: jax.Array,
                    t_len: jax.Array, audio_mask=None, beam_width: int = 5,
                    max_tokens: int = 43) -> List[List[int]]:
     """Batch recognition via beam search (reference
-    ``recognize_beam_search``, ``tt/model.py:181-198``)."""
-    enc = model.apply(variables, inputs, audio_mask, method="encode")
-    beams, counts, _ = beam_search_batched(model, variables, enc, t_len,
-                                           beam_width, max_tokens)
+    ``recognize_beam_search``, ``tt/model.py:181-198``).
+
+    Encoder + beam run as ONE jitted program (module-level, model static,
+    params as arguments — same contract as ``greedy.recognize``): a bare
+    ``model.apply`` here would dispatch every encoder op individually,
+    which against a remote-relay TPU backend costs ~25-100 ms PER OP."""
+    params = variables["params"] if "params" in variables else variables
+    if "forward_layer" not in params.get("joint", {}):
+        raise ValueError(
+            "recognize_beam requires the native Transducer param layout; "
+            "use greedy decoding for the espnet family (see "
+            "beam_search_batched).")
+    beams, counts, _ = _recognize_beam_run(model, beam_width, max_tokens,
+                                           variables, inputs, t_len,
+                                           audio_mask)
     out = []
     for i in range(np.asarray(beams).shape[0]):
         n = int(np.asarray(counts)[i, 0])
         out.append(list(map(int, np.asarray(beams)[i, 0, 1:n])))
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _recognize_beam_run(model, beam_width, max_tokens, variables, inputs,
+                        t_len, audio_mask):
+    enc = model.apply(variables, inputs, audio_mask, method="encode")
+    return _beam_run(model, variables, enc, t_len, beam_width, max_tokens,
+                     0, True)
 
 
 def beam_search_reference_exact(model: Transducer, variables,

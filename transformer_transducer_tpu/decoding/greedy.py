@@ -40,9 +40,24 @@ from transformer_transducer_tpu.ops.masks import look_ahead_mask
 
 
 def _is_native_family(variables) -> bool:
+    """Single source of truth for the family check (probes the native
+    ``LabelEncoder`` param layout); streaming/session.py, streaming/
+    batched.py and this module all dispatch on it — do not re-implement."""
     params = variables.get("params", variables)
     dec = params.get("decoder", {})
     return "layer_0" in dec and "attn" in dec.get("layer_0", {})
+
+
+def predict_last_state(model, variables, buf: jax.Array, count: jax.Array,
+                       label_mask) -> jax.Array:
+    """(N, U) token buffers -> (N, D) label-encoder state at position
+    count-1.  The shared decode-side contract (greedy, beam, streaming,
+    batched serving): encode the whole static buffer under ``label_mask``
+    (the causal choice is documented at :func:`greedy_decode`) and gather
+    each row's last real token's state."""
+    dec = model.apply(variables, buf, label_mask, method="predict")
+    idx = (count - 1)[:, None, None].astype(jnp.int32)
+    return jnp.take_along_axis(dec, idx.repeat(dec.shape[-1], -1), 1)[:, 0]
 
 
 def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
@@ -72,9 +87,7 @@ def greedy_decode(model: Transducer, variables, enc_states: jax.Array,
         use_cache = True
 
     def predict_last(buf: jax.Array, count: jax.Array) -> jax.Array:
-        dec = model.apply(variables, buf, label_mask, method="predict")
-        return jnp.take_along_axis(dec, (count - 1)[:, None, None].astype(jnp.int32)
-                                   .repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
+        return predict_last_state(model, variables, buf, count, label_mask)
 
     def joint_argmax(t, dec_state, count):
         logits = model.apply(variables, enc_states[:, t], dec_state,

@@ -38,6 +38,10 @@ _PALLAS_MODE = "auto"
 
 
 def configure_pallas(mode: str) -> None:
+    """Select the lattice-sweep backend.  The global is read at TRACE time:
+    programs jitted before this call keep the backend they were compiled
+    with (jit caches are not keyed on it), so set it before the first
+    loss/train-step trace — or ``jax.clear_caches()`` to force a re-trace."""
     global _PALLAS_MODE
     assert mode in ("auto", "on", "off")
     _PALLAS_MODE = mode
@@ -150,8 +154,16 @@ def rnnt_loss_grid(lp_b: jax.Array, lp_l: jax.Array, t_len: jax.Array,
 
 def _rnnt_fwd(lp_b, lp_l, t_len, u_len):
     lp_b = lp_b.astype(jnp.float32)
-    lp_l = _mask_label_grid(lp_l.astype(jnp.float32), u_len)
     b, t, u1 = lp_b.shape
+    # Over-length rows (t_len > T or u_len > U) would place the terminal
+    # cell off-grid: the alpha gather clamps (finite garbage loss) while the
+    # beta terminal injection finds NO cell (exact-zero gradients) — a
+    # silent training no-op.  warp-rnnt hard-asserts these preconditions;
+    # under jit we clamp to the grid instead, which makes the loss the
+    # "truncated-sequence" NLL and keeps gradients alive.
+    t_len = jnp.minimum(t_len, t)
+    u_len = jnp.minimum(u_len, u1 - 1)
+    lp_l = _mask_label_grid(lp_l.astype(jnp.float32), u_len)
     skew_b, skew_l = _skew(lp_b), _skew(lp_l)
     if _use_pallas():
         from transformer_transducer_tpu.ops.pallas.rnnt_kernel import alpha_scan_pallas
@@ -242,7 +254,11 @@ def joint_params_from_variables(variables, enc_dim=None) -> Tuple[jax.Array, ...
     """Split a ``models.transducer.JointNetwork`` param tree into
     (W_enc, W_dec, b1, W_out, b_out) — the concat Linear is row-partitioned.
 
-    ``enc_dim``: encoder d_model for the row split; defaults to half of the
+    ``enc_dim``: encoder d_model for the row split.  When the FULL param
+    tree is passed (the normal case), it is derived from the decoder
+    embedding width — ``enc_dim = concat_width - dec_d_model`` — so configs
+    with ``enc.d_model != dec.d_model`` split correctly; an explicit
+    ``enc_dim`` overrides, and a joint-only tree falls back to half of the
     concat width (correct whenever enc and dec d_model match, as in every
     shipped config).  Weight-tied joints (``share_embedding``) have no
     ``project_layer``; their output projection is the decoder embedding
@@ -251,6 +267,9 @@ def joint_params_from_variables(variables, enc_dim=None) -> Tuple[jax.Array, ...
     joint = params["joint"] if "joint" in params else params
     w1 = joint["forward_layer"]["kernel"]
     b1 = joint["forward_layer"]["bias"]
+    if enc_dim is None and "decoder" in params:
+        dec_dim = params["decoder"]["embedding"]["embedding"].shape[1]
+        enc_dim = w1.shape[0] - dec_dim
     if "project_layer" in joint:
         w2 = joint["project_layer"]["kernel"]
         b2 = joint["project_layer"]["bias"]

@@ -89,14 +89,12 @@ class BatchedStreamingSession:
         length = cfg.window_len
         left, right = cfg.left_context, cfg.right_context
 
-        def predict_last(variables, buf, count):
-            dec = self.model.apply(variables, buf, lmask, method="predict")
-            idx = (count - 1)[:, None, None].astype(jnp.int32)
-            return jnp.take_along_axis(
-                dec, idx.repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
-
         from transformer_transducer_tpu.decoding.greedy import (
-            _is_native_family)
+            _is_native_family, predict_last_state)
+
+        def predict_last(variables, buf, count):
+            return predict_last_state(self.model, variables, buf, count,
+                                      lmask)
         is_espnet = not _is_native_family(self.variables)
 
         def round_body(variables, state, xs):

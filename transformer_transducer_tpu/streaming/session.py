@@ -185,12 +185,11 @@ class StreamingSession:
         mask = look_ahead_mask(cap)
         e_max = cfg.window_len
 
+        from transformer_transducer_tpu.decoding.greedy import (
+            predict_last_state)
+
         def predict_last(variables, buf, count):
-            dec = self.model.apply(variables, buf, mask,
-                                   method="predict")
-            idx = (count - 1)[:, None, None].astype(jnp.int32)
-            return jnp.take_along_axis(
-                dec, idx.repeat(dec.shape[-1], axis=-1), axis=1)[:, 0]
+            return predict_last_state(self.model, variables, buf, count, mask)
 
         length = cfg.window_len
         left, right = cfg.left_context, cfg.right_context
@@ -307,9 +306,9 @@ class StreamingSession:
         return window_decode_many
 
     def _is_espnet(self) -> bool:
-        params = self.variables.get("params", self.variables)
-        dec = params.get("decoder", {})
-        return not ("layer_0" in dec and "attn" in dec.get("layer_0", {}))
+        from transformer_transducer_tpu.decoding.greedy import (
+            _is_native_family)
+        return not _is_native_family(self.variables)
 
     def _build_encode(self):
         """Stand-alone banded window encoder (diagnostics / tests; the hot

@@ -78,8 +78,12 @@ def _wd(weight_decay):
 
 
 def _adam(learning_rate, weight_decay=0.0):
-    return optax.chain(optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-8),
-                       _wd(weight_decay), optax.scale(-learning_rate))
+    # weight decay BEFORE the moment updates (L2, grad += wd*param) — the
+    # reference's torch.optim.Adam semantics (``tt/optim.py:59-65``), not
+    # AdamW-style decoupled decay
+    return optax.chain(_wd(weight_decay),
+                       optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-8),
+                       optax.scale(-learning_rate))
 
 
 def _sgd(learning_rate, momentum=0.0, nesterov=False, weight_decay=0.0):
@@ -89,8 +93,10 @@ def _sgd(learning_rate, momentum=0.0, nesterov=False, weight_decay=0.0):
 
 
 def _adadelta(learning_rate, rho=0.9, eps=1e-6, weight_decay=0.0):
-    return optax.chain(optax.scale_by_adadelta(rho=rho, eps=eps),
-                       _wd(weight_decay), optax.scale(-learning_rate))
+    # L2 decay before the accumulator updates, like torch.optim.Adadelta
+    return optax.chain(_wd(weight_decay),
+                       optax.scale_by_adadelta(rho=rho, eps=eps),
+                       optax.scale(-learning_rate))
 
 
 def step_decay_schedule(step, warmup_steps: float = 4e3,

@@ -336,7 +336,9 @@ class Trainer:
 
         run = self._eval_decode_fn(max_tokens)
 
-        with open(dump_path, "a", encoding="utf-8") as dump:
+        # "w", not "a": the file is epoch-unique, and a continue-mode resume
+        # that re-evaluates the same epoch must not duplicate the dump
+        with open(dump_path, "w", encoding="utf-8") as dump:
             for bi, batch in enumerate(loader):
                 if max_batches is not None and bi >= max_batches:
                     break
