@@ -390,9 +390,11 @@ print(best * 1e3)
     return float(out.stdout.strip().splitlines()[-1])
 
 
-def bench_beam_rtf(batch=8, t=410, width=5, emission_density=None):
+def bench_beam_rtf(batch=8, t=410, width=5, emission_density=None,
+                   flagship=False):
     """Encoder + width-5 batched beam search (the reference's beam decode,
-    ``tt/model.py:110-179``) on the aishell config.
+    ``tt/model.py:110-179``) on the aishell config (or the 18-layer
+    flagship ``joint_streaming`` geometry with ``flagship=True``).
 
     ``emission_density=None`` keeps the random-init joint, whose gate argmax
     is almost NEVER blank (1/V odds) — every frame expands, the worst case
@@ -407,9 +409,14 @@ def bench_beam_rtf(batch=8, t=410, width=5, emission_density=None):
     from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.decoding.beam import beam_search_batched
 
-    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                       compute_dtype=jnp.bfloat16)
+    if flagship:
+        model = Transducer(vocab_size=6485, enc=(18, 410, 8, 512, 64, 2048),
+                           dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
+                           compute_dtype=jnp.bfloat16)
+    else:
+        model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
+                           dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
+                           compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
     variables = model.init(rng, x[:, :8], jnp.zeros((batch, 4), jnp.int32))
@@ -615,6 +622,7 @@ def main():
     flag_ms, flag_mfu = bench_train_step_flagship()
     beam_rtf = bench_beam_rtf()
     beam_rtf_15 = bench_beam_rtf(emission_density=0.15)
+    flag_beam_rtf_15 = bench_beam_rtf(emission_density=0.15, flagship=True)
     loss_ms = bench_rnnt_loss()
     cpu_loss_ms = bench_rnnt_loss_cpu_ms()
     enc_mfu = bench_encode_mfu()
@@ -637,6 +645,7 @@ def main():
         "train_step_ms_flagship_b4": round(flag_ms, 2),
         "beam5_x_realtime_b8_aishell_dense": round(beam_rtf, 2),
         "beam5_x_realtime_b8_aishell_15pct": round(beam_rtf_15, 2),
+        "beam5_x_realtime_b8_flagship_15pct": round(flag_beam_rtf_15, 2),
         "mfu_train_step_b4_aishell": round(train_mfu(4, step_ms), 4),
         "mfu_train_step_b32_aishell": round(train_mfu(32, step_ms32), 4),
         "mfu_train_step_b4_flagship": round(flag_mfu, 4),
