@@ -46,7 +46,9 @@ def build_session(args):
     def on_token(tok, _is_split):
         print(vocab.index2word.get(tok, "?"), end="", flush=True)
 
-    session = StreamingSession(model, variables, scfg, on_token=on_token)
+    session = StreamingSession(model, variables, scfg, on_token=on_token,
+                               incremental=getattr(args, "incremental",
+                                                   False))
     return session, vocab
 
 
@@ -105,6 +107,9 @@ def main():
     ap.add_argument("--realtime", action="store_true",
                     help="pace file chunks at real time")
     ap.add_argument("--rtf", action="store_true", help="report RTF")
+    ap.add_argument("--incremental", action="store_true",
+                    help="cached-encoder session (native family): O(new "
+                         "frames) work per step instead of halo re-encode")
     ap.add_argument("--gui", action="store_true",
                     help="Tk window (requires a display)")
     ap.add_argument("--set", action="append", default=[], dest="overrides",

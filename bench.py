@@ -283,15 +283,20 @@ def _flagship_streaming_parts():
     return model, variables, cfg
 
 
-def bench_streaming_rtf_flagship(seconds=30):
+def bench_streaming_rtf_flagship(seconds=30, incremental=False):
     """Warm streaming RTF + cadence at the FLAGSHIP config (18-layer
     encoder, 180/36-frame halos — ``audio/streamRec_unlimit_dynamic_window
-    .py:56-62``); same two regimes as ``bench_streaming_rtf``."""
+    .py:56-62``); same two regimes as ``bench_streaming_rtf``.
+
+    ``incremental=True`` uses the cached-encoder session
+    (``streaming/incremental.py``): O(new frames) encoder work per step
+    instead of re-encoding the 180+36-frame halo around every ~33 new
+    frames (~a 7.6x FLOP redundancy at this geometry)."""
     import numpy as np
     from transformer_transducer_tpu.streaming.session import StreamingSession
 
     model, variables, cfg = _flagship_streaming_parts()
-    session = StreamingSession(model, variables, cfg)
+    session = StreamingSession(model, variables, cfg, incremental=incremental)
     rs = np.random.RandomState(0)
     wav = (rs.randn(16000 * seconds) * 3000).astype("int16")
     session.accept_waveform(wav)
@@ -303,6 +308,13 @@ def bench_streaming_rtf_flagship(seconds=30):
         session.accept_waveform(wav)
         session.finalize()
         dt = min(dt, time.perf_counter() - t0)
+    # warm the per-window regime's own program sizes too (the 1-window/
+    # 1-chunk buckets never compile during the stacked full-wave passes —
+    # without this the first cadence window pays a multi-second compile)
+    session.reset()
+    for i in range(0, len(wav), cfg.audio_step):
+        session.accept_waveform(wav[i:i + cfg.audio_step])
+    session.finalize()
     session.reset()
     t0 = time.perf_counter()
     n_win = 0
@@ -519,7 +531,13 @@ def bench_streaming_rtf(seconds=30):
         session.accept_waveform(wav)
         session.finalize()
         dt = min(dt, time.perf_counter() - t0)
-    # cadence: one audio window per accept_waveform call (warm already)
+    # cadence: one audio window per accept_waveform call.  Warm this
+    # regime's own program sizes first (the 1-window bucket may never
+    # compile during the stacked full-wave passes)
+    session.reset()
+    for i in range(0, len(wav), cfg.audio_step):
+        session.accept_waveform(wav[i:i + cfg.audio_step])
+    session.finalize()
     session.reset()
     t0 = time.perf_counter()
     n_win = 0
@@ -628,6 +646,8 @@ def main():
     enc_mfu = bench_encode_mfu()
     stream_rtf, stream_lat_ms = bench_streaming_rtf()
     flag_rtf, flag_lat_ms = bench_streaming_rtf_flagship()
+    flag_inc_rtf, flag_inc_lat_ms = bench_streaming_rtf_flagship(
+        incremental=True)
     multi_rtf = bench_multistream()
     flag_multi_rtf = bench_multistream_flagship()
     dense_ms, banded_ms = bench_banded_attention()
@@ -659,6 +679,10 @@ def main():
         "streaming_cadence_ms_per_window_aishell": round(stream_lat_ms, 2),
         "streaming_x_realtime_warm_flagship": round(flag_rtf, 2),
         "streaming_cadence_ms_per_window_flagship": round(flag_lat_ms, 2),
+        "streaming_x_realtime_warm_flagship_incremental":
+            round(flag_inc_rtf, 2),
+        "streaming_cadence_ms_per_window_flagship_incremental":
+            round(flag_inc_lat_ms, 2),
         "multistream_8_aggregate_x_realtime_aishell": round(multi_rtf, 2),
         "multistream_8_aggregate_x_realtime_flagship": round(flag_multi_rtf, 2),
         "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),

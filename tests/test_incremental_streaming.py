@@ -1,0 +1,145 @@
+"""Incremental (cached-encoder) streaming: equality with the canonical
+pinned-window programs.
+
+The incremental encoder (``streaming/incremental.py``) claims bitwise-level
+agreement (up to f32 reassociation) with the halo-window path
+(``chunked_encode`` / ``StreamingSession``) at the same pinned
+``window_len`` — these tests are that claim.  Reference semantics being
+reproduced: ``audio/streamRec_unlimit_dynamic_window.py:159-183`` windows +
+``tt/transformer.py:82-95,128-135`` rel-shift wrap.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_transducer_tpu.models.transducer import Transducer
+from transformer_transducer_tpu.ops.masks import context_mask
+from transformer_transducer_tpu.streaming.session import (
+    StreamingConfig, StreamingSession, chunked_encode)
+from transformer_transducer_tpu.streaming.incremental import (
+    incremental_encode)
+
+
+def _model(n_layer=2, d_model=16, vocab=12, seed=0, k_len=64):
+    model = Transducer(vocab_size=vocab,
+                       enc=(n_layer, k_len, 2, d_model, 8, 32),
+                       dec=(1, 41, 2, d_model, 8, 32), joint_inner=16)
+    x = jnp.zeros((1, 8, d_model))
+    y = jnp.zeros((1, 4), dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(seed), x, y)
+    return model, variables
+
+
+def _canonical_key_limit(t, left_len, right_len, step, fixed_len):
+    """Start-of-final-window + fixed_len for the ``chunked_encode`` loop
+    geometry (keys at positions >= this do not exist in the canonical final
+    window's W x W program)."""
+    pos = 0
+    while pos < t:
+        end = min(pos + step + right_len, t)
+        left_frame = min(left_len, pos)
+        start = pos - left_frame
+        right_frame = right_len if end < t else 0
+        if end == t:
+            return start + fixed_len
+        pos += (end - start) - left_frame - right_frame
+    return t + fixed_len
+
+
+@pytest.mark.parametrize("n_layer,left,right,t,chunk", [
+    (2, 3, 2, 37, 8),
+    (3, 4, 2, 50, 16),
+    (2, 5, 3, 41, 8),
+    (1, 3, 1, 23, 8),
+])
+def test_incremental_encode_equals_chunked(n_layer, left, right, t, chunk):
+    model, variables = _model(n_layer=n_layer, seed=n_layer + left)
+    cfg = StreamingConfig(left_context=left, right_context=right,
+                          n_layer=n_layer, feature_dim=4, stack_left=3)
+    rng = np.random.RandomState(left + right)
+    feats = rng.randn(t, 16).astype(np.float32)
+    fixed = 64
+    step = max(cfg.right_len, 1)
+    ref = chunked_encode(model, variables, feats, cfg, fixed_len=fixed)
+    key_limit = _canonical_key_limit(t, cfg.left_len, cfg.right_len,
+                                    step, fixed)
+    got = incremental_encode(model, variables, feats, left=left, right=right,
+                             window_len=fixed, chunk=chunk,
+                             key_limit=key_limit)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def _run_session(model, variables, cfg, wav, incremental, hop=4000):
+    session = StreamingSession(model, variables, cfg,
+                               incremental=incremental)
+    for i in range(0, len(wav), hop):
+        session.accept_waveform(wav[i:i + hop])
+    session.finalize()
+    return session
+
+
+@pytest.mark.parametrize("n_audio,hop", [(30000, 4000), (52000, 17000)])
+def test_incremental_session_equals_window_session(n_audio, hop):
+    """The cached-encoder session must emit the identical token stream (and
+    sentence splits) as the canonical pinned-window session under the same
+    feed pattern — including the final window's key-clip semantics."""
+    model, variables = _model(n_layer=2, seed=11)
+    rng = np.random.RandomState(9)
+    wav = (rng.randn(n_audio) * 3000).astype(np.int16)
+
+    def mkcfg():
+        return StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                               feature_dim=4, stack_left=3,
+                               win_audio=4800 + 480, audio_step=4800,
+                               blank_split=4)
+
+    ref = _run_session(model, variables, mkcfg(), wav, incremental=False,
+                       hop=hop)
+    got = _run_session(model, variables, mkcfg(), wav, incremental=True,
+                       hop=hop)
+    assert ref.result, "degenerate test: the reference session emitted nothing"
+    assert got.result == ref.result
+    assert got.segments == ref.segments
+
+
+def test_incremental_session_feed_pattern_invariant():
+    """Chunking of accept_waveform calls must not change the output."""
+    model, variables = _model(n_layer=2, seed=11)
+    rng = np.random.RandomState(13)
+    wav = (rng.randn(30000) * 3000).astype(np.int16)
+
+    def mkcfg():
+        return StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                               feature_dim=4, stack_left=3,
+                               win_audio=4800 + 480, audio_step=4800)
+
+    a = _run_session(model, variables, mkcfg(), wav, incremental=True,
+                     hop=1600)
+    b = _run_session(model, variables, mkcfg(), wav, incremental=True,
+                     hop=len(wav))
+    assert a.result == b.result
+
+
+def test_incremental_rejects_trapezoid_and_espnet():
+    from transformer_transducer_tpu.streaming.session import (
+        TrapezoidStreamingSession)
+    model, variables = _model()
+    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                          feature_dim=4, stack_left=3)
+    with pytest.raises(ValueError):
+        TrapezoidStreamingSession(model, variables, cfg, incremental=True)
+
+
+def test_incremental_encode_chunk_size_invariant():
+    """The output stream must not depend on how the features are chunked."""
+    model, variables = _model(seed=7)
+    rng = np.random.RandomState(5)
+    feats = rng.randn(45, 16).astype(np.float32)
+    outs = [incremental_encode(model, variables, feats, left=3, right=2,
+                               window_len=64, chunk=c) for c in (4, 16, 45)]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-6)

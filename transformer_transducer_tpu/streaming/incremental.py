@@ -1,0 +1,262 @@
+"""Incremental (cached) streaming encoder for the native family.
+
+The reference's streaming loop re-encodes a ``n_layer*left`` history halo
+plus a ``n_layer*right`` future halo around every ~1 s of new frames
+(``audio/streamRec_unlimit_dynamic_window.py:61-63,160-183``) — at the
+18-layer flagship that is 180 + ~33 + 36 = 250 frames of 18-layer encode per
+~33 new frames, a ~7.6x compute redundancy.  This module removes it the
+TPU-native way: each layer caches the last ``left + right`` frames of its
+*input* stream, and one device step advances every layer by the chunk's
+``n_new`` frames — O(new frames) work per step instead of O(halo + new).
+
+Numerics are IDENTICAL to the canonical pinned-window path
+(``StreamingSession`` / ``chunked_encode``) because the banded rel-attention
+scores are evaluated in closed form, including the rel-shift wrap semantics
+(DESIGN.md §2, reference ``tt/transformer.py:82-95,128-135``):
+
+* ``j - i = dj in [-left, 0]``: ``q_i . re[K-1+dj] + rb[K-1+dj]`` — the LAST
+  table rows, window-length invariant;
+* ``dj = +1``: 0 (the rel-shift zero-pad column);
+* ``dj in [2, right]``: ``q_{i+1} . re_w[dj-2] + rb_w[dj-2]`` where
+  ``re_w[m] = table[max(0, k_len - W + m)]`` — the wrap row, pinned to the
+  session's fixed ``window_len`` W exactly as the padded-window program pins
+  it (``StreamingConfig.window_len``).
+
+Each layer's output frontier lags its input frontier by ``right`` frames
+(an output needs ``right`` future inputs), so the encoder output lags the
+feature frontier by ``n_layer*right`` — the same algorithmic latency as the
+halo design.  At stream end, ``n_layer*right`` zero feature rows flush the
+pipe; ``key_limit`` reproduces the canonical final-window clipping (keys at
+positions >= the canonical window's last padded row do not exist there).
+
+Espnet-family note: its sinusoidal rel-pos attention is shift-invariant
+(no wrap pinning), so this closed form does not apply; the espnet streaming
+path keeps the halo window program.
+
+Numerics: exactly equal to the window path in f32 (CPU property tests,
+``tests/test_incremental_streaming.py``).  On TPU the different matmul
+shapes tile the MXU differently, so f32-via-bf16-passes rounding differs at
+the usual ~6e-3 relative level (measured max |delta| 0.026 on outputs with
+absmax 4.3 at d_model=512) — the same grouping noise the label-cache and
+beam tests tolerate.  Trained-model greedy margins sit far above it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_transducer_tpu.models.attention import NEG_INF
+
+_BIG = np.int32(2**30)  # "no key limit" sentinel (positions are small ints)
+
+
+def stack_encoder_layers(variables, n_layer: int):
+    """Stack the per-layer encoder param subtrees along a leading axis so
+    one ``lax.scan`` body serves all layers (one compile instead of
+    ``n_layer`` unrolled copies)."""
+    layers = [variables["params"]["encoder"][f"layer_{i}"]
+              for i in range(n_layer)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def init_cache(n_layer: int, left: int, right: int, d_model: int
+               ) -> Dict[str, Any]:
+    """Fresh stream state: per-layer input ring (last ``left+right`` rows)
+    plus the global feature-frontier counter."""
+    return {"bufs": jnp.zeros((n_layer, left + right, d_model), jnp.float32),
+            "n_in": jnp.zeros((), jnp.int32)}
+
+
+def _layer_norm(x, p):
+    """flax ``nn.LayerNorm(epsilon=1e-5)`` bit pattern (fast-variance)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu)
+    y = (x - mu) * jax.lax.rsqrt(var + 1e-5)
+    return y * p["scale"] + p["bias"]
+
+
+def _layer_step(lp, buf, x_new, n_new, pos0, key_limit, *, left, right,
+                window_len, n_head, d_head, compute_dtype):
+    """One encoder layer, one chunk.
+
+    Args:
+      lp: this layer's param subtree (``r_emb``/``r_w_bias``/``r_bias``/
+          ``attn``/``ff``).
+      buf: (L+R, D) cached input rows (positions ``[pos0-L-R, pos0)``).
+      x_new: (C, D) new input rows, first ``n_new`` valid
+          (positions ``[pos0, pos0+n_new)``).
+      pos0: this layer's input frontier before the step.
+      key_limit: keys at positions >= this do not exist (canonical
+          final-window clipping); ``_BIG`` during streaming.
+
+    Returns ``(new_buf, out)`` — out (C, D), rows ``[0, n_new)`` are the
+    layer outputs for positions ``[pos0 - R, pos0 + n_new - R)``.
+    """
+    L, R = left, right
+    cd = compute_dtype
+    C = x_new.shape[0]
+    K = L + R + C
+    H, dh = n_head, d_head
+
+    concat = jnp.concatenate([buf, x_new], axis=0)          # (K, D)
+    pos = pos0 - (L + R) + jnp.arange(K)                    # global positions
+    row_ok = (pos >= 0) & (jnp.arange(K) < L + R + n_new) & (pos < key_limit)
+    # zero invalid rows: they are always key-masked below, but NaNs from
+    # all-masked softmax rows upstream must not ride the V matmul (0*NaN)
+    concat = jnp.where(row_ok[:, None], concat, 0.0)
+
+    qkv_w = lp["attn"]["qkv"]["kernel"].astype(cd)
+    qkv = concat.astype(cd) @ qkv_w                         # (K, 3*H*dh)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(K, H, dh)
+    k = k.reshape(K, H, dh)
+    v = v.reshape(K, H, dh)
+
+    r_w_bias = lp["r_w_bias"].astype(cd)                    # (H, dh)
+    re = lp["r_emb"]                                        # (k_len, H, dh)
+    rb = lp["r_bias"]                                       # (k_len, H)
+    k_len = re.shape[0]
+
+    # queries: buffer rows [L, L+C) -> output positions [pos0-R, pos0+C-R)
+    qm = q[L:L + C]                                         # (C, H, dh)
+    qn = q[L + 1:L + C + 1]                                 # the i+1 neighbor
+
+    ac = jnp.einsum("ihd,jhd->ihj", qm + r_w_bias, k)       # (C, H, K)
+
+    # BD main (dj in [-L, 0]): last L+1 table rows, m = dj + L
+    re_main = re[k_len - 1 - L:].astype(cd)                 # (L+1, H, dh)
+    rb_main = rb[k_len - 1 - L:].astype(cd)                 # (L+1, H)
+    bd_main = (jnp.einsum("ihd,mhd->ihm", qm, re_main)
+               + rb_main.T[None])                           # (C, H, L+1)
+
+    i_idx = jnp.arange(C)[:, None]                          # query row i
+    j_idx = jnp.arange(K)[None, :]
+    dj = j_idx - (i_idx + L)                                # position offset
+    m1 = jnp.clip(dj + L, 0, L)                             # main row index
+    bd_from_main = jnp.take_along_axis(
+        bd_main, jnp.broadcast_to(m1[:, None, :], (C, H, K)), axis=2)
+
+    if R >= 2:
+        # BD wrap (dj in [2, R]): slice rows of the WINDOW-PINNED table
+        # (front-pad rule when window_len > k_len: row max(0, k_len-W+m))
+        rows = np.maximum(0, k_len - window_len + np.arange(R - 1))
+        re_wrap = re[rows].astype(cd)                       # (R-1, H, dh)
+        rb_wrap = rb[rows].astype(cd)                       # (R-1, H)
+        bd_wrap = (jnp.einsum("ihd,mhd->ihm", qn, re_wrap)
+                   + rb_wrap.T[None])                       # (C, H, R-1)
+        m2 = jnp.clip(dj - 2, 0, R - 2)
+        bd_from_wrap = jnp.take_along_axis(
+            bd_wrap, jnp.broadcast_to(m2[:, None, :], (C, H, K)), axis=2)
+    else:
+        bd_from_wrap = jnp.zeros_like(bd_from_main[..., :1])
+        bd_from_wrap = jnp.broadcast_to(bd_from_wrap, (C, H, K))
+
+    dj3 = dj[:, None, :]                                    # (C, 1, K)
+    bd = jnp.where(dj3 <= 0, bd_from_main,
+                   jnp.where(dj3 == 1, jnp.zeros((), cd), bd_from_wrap))
+
+    scale = 1.0 / (dh ** 0.5)
+    score = (ac + bd) * scale                               # (C, H, K)
+    band = (dj >= -L) & (dj <= R)                           # (C, K)
+    valid = band & row_ok[None, :]
+    score = jnp.where(valid[:, None, :],
+                      score, jnp.asarray(NEG_INF, score.dtype))
+
+    prob = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(cd)
+    vec = jnp.einsum("ihj,jhd->ihd", prob, v).reshape(C, H * dh)
+    out = vec.astype(cd) @ lp["attn"]["out"]["kernel"].astype(cd)
+    x_res = concat[L:L + C]                                 # residual rows
+    y = _layer_norm((x_res + out).astype(jnp.float32), lp["attn"]["ln"])
+
+    # FFN: one LayerNorm applied twice (shared params), reference
+    # tt/transformer.py:36-58
+    fp = lp["ff"]
+    h = _layer_norm(y, fp["ln"]).astype(cd)
+    h = h @ fp["fc1"]["kernel"].astype(cd) + fp["fc1"]["bias"].astype(cd)
+    h = jax.nn.relu(h)
+    h = h @ fp["fc2"]["kernel"].astype(cd) + fp["fc2"]["bias"].astype(cd)
+    y = _layer_norm(y + h.astype(jnp.float32), fp["ln"])
+
+    new_buf = jax.lax.dynamic_slice_in_dim(concat, n_new, L + R, axis=0)
+    return new_buf, y
+
+
+def incremental_encode_step(enc_stack, cache, x_new, n_new,
+                            key_limit=None, *, left, right, window_len,
+                            n_head, d_head,
+                            compute_dtype=jnp.float32
+                            ) -> Tuple[Dict[str, Any], jax.Array, jax.Array]:
+    """Advance the whole encoder by one chunk.
+
+    Args:
+      enc_stack: ``stack_encoder_layers`` result.
+      cache: ``init_cache`` state.
+      x_new: (C, D) new feature rows, first ``n_new`` valid.
+      key_limit: optional position clip for the canonical final window.
+
+    Returns ``(new_cache, out, out_start)``: out (C, D) encoder outputs —
+    row j (j < n_new) is the output for position ``out_start + j`` where
+    ``out_start = n_in - n_layer*right`` (rows at negative positions or
+    >= the content length are flush garbage for the caller to skip).
+    """
+    n_layer = cache["bufs"].shape[0]
+    n_in = cache["n_in"]
+    if key_limit is None:
+        key_limit = jnp.asarray(_BIG, jnp.int32)
+
+    def body(x, xs):
+        lp, buf, k = xs
+        pos0 = n_in - k * right
+        new_buf, y = _layer_step(
+            lp, buf, x, n_new, pos0, key_limit, left=left, right=right,
+            window_len=window_len, n_head=n_head, d_head=d_head,
+            compute_dtype=compute_dtype)
+        return y, new_buf
+
+    out, new_bufs = jax.lax.scan(
+        body, x_new, (enc_stack, cache["bufs"], jnp.arange(n_layer)))
+    new_cache = {"bufs": new_bufs, "n_in": n_in + n_new}
+    out_start = n_in - n_layer * right
+    return new_cache, out, out_start
+
+
+def incremental_encode(model, variables, features: np.ndarray, *,
+                       left: int, right: int, window_len: int,
+                       chunk: int = 40, key_limit=None) -> np.ndarray:
+    """Whole-sequence incremental encode (test/diagnostic harness): feeds
+    ``features`` chunk-by-chunk plus the flush tail and reassembles the
+    output stream.  Must equal ``streaming.session.chunked_encode`` at the
+    same pinned ``window_len`` (property-tested)."""
+    e = model.enc
+    n_layer, n_head, d_head, d_model = e[0], e[2], e[4], e[3]
+    enc_stack = stack_encoder_layers(variables, n_layer)
+    cache = init_cache(n_layer, left, right, d_model)
+    t = features.shape[0]
+    lag = n_layer * right
+    step = jax.jit(lambda st, x, n, kl: incremental_encode_step(
+        enc_stack, st, x, n, kl, left=left, right=right,
+        window_len=window_len, n_head=n_head, d_head=d_head,
+        compute_dtype=model.compute_dtype))
+    padded = np.concatenate(
+        [features, np.zeros((lag, features.shape[1]), np.float32)])
+    if key_limit is None:
+        key_limit = _BIG
+    outs = []
+    for p in range(0, padded.shape[0], chunk):
+        rows = padded[p:p + chunk]
+        n_new = rows.shape[0]
+        if n_new < chunk:
+            rows = np.pad(rows, ((0, chunk - n_new), (0, 0)))
+        cache, out, out_start = step(cache, jnp.asarray(rows),
+                                     jnp.asarray(n_new, jnp.int32),
+                                     jnp.asarray(key_limit, jnp.int32))
+        out = np.asarray(out)
+        s = int(out_start)
+        for j in range(n_new):
+            if 0 <= s + j < t:
+                outs.append(out[j])
+    return np.stack(outs, axis=0)

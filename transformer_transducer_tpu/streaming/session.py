@@ -72,6 +72,9 @@ class StreamingConfig:
     # produce genuinely different banded attention.  Fixing the window length
     # is what makes chunked decoding equal full-sequence decoding exactly.
     window_len: Optional[int] = None
+    # Chunk capacity of the incremental (cached-encoder) mode — frames per
+    # device step; defaults to one audio window's worth of new frames.
+    chunk_len: Optional[int] = None
 
     @classmethod
     def from_config(cls, cfg) -> "StreamingConfig":
@@ -102,7 +105,7 @@ class StreamingConfig:
 class StreamingSession:
     def __init__(self, model: Transducer, variables, cfg: StreamingConfig,
                  on_token: Optional[Callable[[int, bool], None]] = None,
-                 keep_features: bool = False):
+                 keep_features: bool = False, incremental: bool = False):
         # keep_features: ALSO accumulate the full subsampled feature stream
         # in ``self.feature_log`` (diagnostics/tests only — it grows with
         # the audio; the decode path always runs on the trimmed buffers)
@@ -118,14 +121,36 @@ class StreamingSession:
         self.on_token = on_token
         d_stacked = cfg.feature_dim * (1 + cfg.stack_left)
         self._d = d_stacked
+        new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
         if cfg.window_len is None:
             # per audio window: ~(win_audio/160+1) raw frames /subsample,
             # plus halos, rounded up to a lane-friendly multiple of 64
-            new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
             need = cfg.left_len + new_frames + cfg.right_len
             cfg.window_len = -(-need // 64) * 64
+        if cfg.chunk_len is None:
+            cfg.chunk_len = -(-new_frames // 8) * 8
+        self.incremental = incremental
+        if incremental and self._is_espnet():
+            raise ValueError(
+                "incremental mode needs the native family's closed-form "
+                "banded rel-attention (streaming/incremental.py); the "
+                "espnet variant keeps the halo window program")
+        from transformer_transducer_tpu.decoding.greedy import (
+            predict_last_state)
+        cap = cfg.label_history + 1
+        label_mask = look_ahead_mask(cap)
+        self._predict_last = jax.jit(
+            lambda variables, buf, count: predict_last_state(
+                self.model, variables, buf, count, label_mask))
         self._encode = self._build_encode()
-        self._window_decode = self._build_window_decode()
+        if incremental:
+            from transformer_transducer_tpu.streaming.incremental import (
+                stack_encoder_layers)
+            self._enc_stack = jax.device_put(
+                stack_encoder_layers(self.variables, self.model.enc[0]))
+            self._chunk_decode = self._build_chunk_decode()
+        else:
+            self._window_decode = self._build_window_decode()
         self.reset()
 
     # ------------------------------------------------------------------
@@ -158,32 +183,47 @@ class StreamingSession:
         self._blank_run = jnp.zeros((1,), dtype=jnp.int32)
         self._emitted_any = jnp.zeros((1,), dtype=jnp.int32)
         self._dec_state = None
+        if getattr(self, "incremental", False):
+            from transformer_transducer_tpu.streaming.incremental import (
+                init_cache)
+            e = self.model.enc
+            self._cache = jax.device_put(init_cache(
+                e[0], self.cfg.left_context, self.cfg.right_context, e[3]))
+            self._fed = 0               # rows fed to the device encoder
+            self._shadow_pos = 0        # canonical window-geometry mirror
+            self._shadow_final_start = None
 
     # window-count buckets for the stacked multi-window program: one compile
     # per bucket, padded windows are no-ops (n_eff = 0 gates every effect)
     WINDOW_BUCKETS = (1, 2, 4, 8, 16, 32)
+    # chunk-count buckets for the incremental program (each chunk is ~1 s of
+    # audio; padded steps are no-ops with n_new = n_valid = 0)
+    CHUNK_BUCKETS = (1, 2, 4, 8, 16)
 
     # ------------------------------------------------------------------
-    def _build_window_decode(self):
-        """Jitted programs: greedy-joint every effective frame against the
-        cached label-encoder state, updating the <=40-token ring buffer and
-        blank-run counter on device.
+    def _make_frame_decoder(self, e_max: int):
+        """Emission-driven greedy joint over ``e_max`` padded encoder frames
+        (shared by the window and incremental-chunk programs).
 
-        Two granularities share one window body:
-
-        * single window — the real-time path (one device call per ~1 s
-          audio window as it becomes ready);
-        * K stacked windows — when several windows are ready at once
-          (faster-than-realtime sources, e.g. file decoding), an outer
-          ``lax.scan`` threads the decode state through all of them in ONE
-          device call.  The per-call dispatch latency of the remote relay
-          (~25-100 ms) is the streaming throughput bottleneck, not FLOPs,
-          so call count is what this design minimizes.
+        Greedy RNN-T only changes state on a NON-BLANK emission: while
+        the label state is fixed, the per-frame argmax is a pure function
+        of the frame.  So instead of scanning all ``e_max`` frame slots
+        sequentially (tiny serial matvecs per window), one batched
+        joint over the whole window finds the next emitting frame and a
+        ``lax.while_loop`` jumps straight to it — (#emissions + 1)
+        iterations of one MXU-shaped ``(e_max, V)`` matmul each.  Real
+        speech emits on ~10-20 % of frames, so this is ~10x fewer serial
+        device steps; even in the dense worst case (every frame emits)
+        it is bounded by ``n_eff + 1 <= e_max`` iterations.  Numerics are
+        identical to the per-frame loop (chunked==offline property
+        tests).  Reference semantics: one emission per frame max,
+        ``audio/streamRec_unlimit_dynamic_window.py:187-207``.  The
+        batched-joint non-blank detection idea is WIND's
+        (arXiv:2505.13765), realized here as a TPU ``while_loop``.
         """
         cfg = self.cfg
         cap = cfg.label_history + 1  # blank seed + history
         mask = look_ahead_mask(cap)
-        e_max = cfg.window_len
 
         from transformer_transducer_tpu.decoding.greedy import (
             predict_last_state)
@@ -191,43 +231,7 @@ class StreamingSession:
         def predict_last(variables, buf, count):
             return predict_last_state(self.model, variables, buf, count, mask)
 
-        length = cfg.window_len
-        left, right = cfg.left_context, cfg.right_context
-
-        is_espnet = self._is_espnet()
-
-        def window_body(variables, state, window, left_frame, n_eff):
-            """Banded encode + emission-driven greedy joint over one padded
-            window.
-
-            Greedy RNN-T only changes state on a NON-BLANK emission: while
-            the label state is fixed, the per-frame argmax is a pure function
-            of the frame.  So instead of scanning all ``e_max`` frame slots
-            sequentially (128 tiny serial matvecs per window), one batched
-            joint over the whole window finds the next emitting frame and a
-            ``lax.while_loop`` jumps straight to it — (#emissions + 1)
-            iterations of one MXU-shaped ``(e_max, V)`` matmul each.  Real
-            speech emits on ~10-20 % of frames, so this is ~10x fewer serial
-            device steps; even in the dense worst case (every frame emits)
-            it is bounded by ``n_eff + 1 <= e_max`` iterations.  Numerics are
-            identical to the per-frame loop (chunked==offline property
-            tests).  Reference semantics: one emission per frame max,
-            ``audio/streamRec_unlimit_dynamic_window.py:187-207``.  The
-            batched-joint non-blank detection idea is WIND's
-            (arXiv:2505.13765), realized here as a TPU ``while_loop``.
-            """
-            if is_espnet:
-                # espnet encoder bands internally (model.mask config); its
-                # rel-pos encoding is shift-invariant, so no table pinning
-                enc = self.model.apply(variables, window[None], None,
-                                       method="encode")[0]
-            else:
-                amask = context_mask(length, left, right)
-                enc = self.model.apply(variables, window[None], amask,
-                                       method="encode")[0]
-            # pad before the dynamic slice so it never clamps
-            enc_pad = jnp.pad(enc, ((0, length), (0, 0)))
-            enc_eff = jax.lax.dynamic_slice_in_dim(enc_pad, left_frame, length)
+        def frame_decode(variables, state, enc_eff, n_eff):
             frame_idx = jnp.arange(e_max)
 
             def cond(carry):
@@ -283,6 +287,48 @@ class StreamingSession:
             out = jax.lax.while_loop(cond, body, carry)
             return out[:5], (out[6], out[7])
 
+        return frame_decode
+
+    # ------------------------------------------------------------------
+    def _build_window_decode(self):
+        """Jitted programs: greedy-joint every effective frame against the
+        cached label-encoder state, updating the <=40-token ring buffer and
+        blank-run counter on device.
+
+        Two granularities share one window body:
+
+        * single window — the real-time path (one device call per ~1 s
+          audio window as it becomes ready);
+        * K stacked windows — when several windows are ready at once
+          (faster-than-realtime sources, e.g. file decoding), an outer
+          ``lax.scan`` threads the decode state through all of them in ONE
+          device call.  The per-call dispatch latency of the remote relay
+          (~25-100 ms) is the streaming throughput bottleneck, not FLOPs,
+          so call count is what this design minimizes.
+        """
+        cfg = self.cfg
+        length = cfg.window_len
+        left, right = cfg.left_context, cfg.right_context
+        is_espnet = self._is_espnet()
+        frame_decode = self._make_frame_decoder(length)
+
+        def window_body(variables, state, window, left_frame, n_eff):
+            """Banded encode + emission-driven greedy joint over one padded
+            window (the joint loop lives in ``_make_frame_decoder``)."""
+            if is_espnet:
+                # espnet encoder bands internally (model.mask config); its
+                # rel-pos encoding is shift-invariant, so no table pinning
+                enc = self.model.apply(variables, window[None], None,
+                                       method="encode")[0]
+            else:
+                amask = context_mask(length, left, right)
+                enc = self.model.apply(variables, window[None], amask,
+                                       method="encode")[0]
+            # pad before the dynamic slice so it never clamps
+            enc_pad = jnp.pad(enc, ((0, length), (0, 0)))
+            enc_eff = jax.lax.dynamic_slice_in_dim(enc_pad, left_frame, length)
+            return frame_decode(variables, state, enc_eff, n_eff)
+
         @jax.jit
         def window_decode_many(variables, windows, left_frames, n_effs, buf,
                                count, dec_state, blank_run, emitted_any):
@@ -302,8 +348,68 @@ class StreamingSession:
             out = jnp.stack([toks, splits.astype(jnp.int32)])
             return buf, count, dec_state, blank_run, emitted_any, out
 
-        self._predict_last = jax.jit(predict_last)
         return window_decode_many
+
+    # ------------------------------------------------------------------
+    def _build_chunk_decode(self):
+        """Jitted incremental program: advance the cached encoder by K
+        feature chunks and greedy-joint the emerging output frames.
+
+        Each step does O(new frames) encoder work via the per-layer input
+        caches (``streaming/incremental.py``) instead of the window path's
+        O(left_len + new + right_len) halo re-encode — at the 18-layer
+        flagship the halo is 180+36 frames around ~33 new ones, a ~7.6x
+        encoder-FLOP redundancy this path removes.  Numerics equal the
+        pinned-window program exactly (incl. the final window's key clip,
+        reproduced via ``key_limit``); property-tested in
+        ``tests/test_incremental_streaming.py``.
+        """
+        cfg = self.cfg
+        chunk = cfg.chunk_len
+        left, right = cfg.left_context, cfg.right_context
+        e = self.model.enc
+        n_head, d_head = e[2], e[4]
+        window_len = cfg.window_len
+        cd = self.model.compute_dtype
+        frame_decode = self._make_frame_decoder(chunk)
+        from transformer_transducer_tpu.streaming.incremental import (
+            incremental_encode_step)
+
+        def chunk_body(variables, enc_stack, carry, x_new, n_new, key_limit,
+                       valid_start, n_valid):
+            cache, state = carry
+            cache, out, _ = incremental_encode_step(
+                enc_stack, cache, x_new, n_new, key_limit,
+                left=left, right=right, window_len=window_len,
+                n_head=n_head, d_head=d_head, compute_dtype=cd)
+            # shift this step's decodable rows to the front (host computed
+            # valid_start/n_valid from the output frontier)
+            enc_pad = jnp.pad(out, ((0, chunk), (0, 0)))
+            enc_eff = jax.lax.dynamic_slice_in_dim(enc_pad, valid_start,
+                                                   chunk)
+            state, outs = frame_decode(variables, state, enc_eff, n_valid)
+            return (cache, state), outs
+
+        @jax.jit
+        def chunk_decode_many(variables, enc_stack, cache, xs, n_news,
+                              key_limits, valid_starts, n_valids, buf, count,
+                              dec_state, blank_run, emitted_any):
+            """K stacked chunk steps threaded through the encoder cache and
+            decode state in ONE device call (same dispatch-count logic as
+            ``window_decode_many``)."""
+            def outer(carry, step):
+                return chunk_body(variables, enc_stack, carry, *step)
+
+            (cache, (buf, count, dec_state, blank_run, emitted_any)), \
+                (toks, splits) = jax.lax.scan(
+                    outer,
+                    (cache, (buf, count, dec_state, blank_run, emitted_any)),
+                    (xs, n_news, key_limits, valid_starts, n_valids))
+            out = jnp.stack([toks, splits.astype(jnp.int32)])
+            return (cache, buf, count, dec_state, blank_run, emitted_any,
+                    out)
+
+        return chunk_decode_many
 
     def _is_espnet(self) -> bool:
         from transformer_transducer_tpu.decoding.greedy import (
@@ -384,6 +490,8 @@ class StreamingSession:
             self.feature_log = np.concatenate([self.feature_log, new_sub])
 
     def _process_feature_windows(self, last_clip: bool) -> List[int]:
+        if self.incremental:
+            return self._process_incremental(last_clip)
         cfg = self.cfg
         # gather ready windows (their geometry is pure host-side shape
         # arithmetic), decoding every full bucket as it fills so host
@@ -458,6 +566,102 @@ class StreamingSession:
                 emitted += self._emit(out[0, j, :n_eff], out[1, j, :n_eff])
         return emitted
 
+    # ----- incremental (cached-encoder) feed path ---------------------
+    def _advance_shadow(self, total: int, last_clip: bool) -> None:
+        """Mirror the canonical window loop's feature-position bookkeeping
+        (pure integer arithmetic, no decoding) so the final window's key
+        clip — the one place window geometry reaches the numerics — can be
+        reproduced exactly under the same feed pattern."""
+        cfg = self.cfg
+        while True:
+            future = total - self._shadow_pos
+            if future <= 0 or (not last_clip and future <= cfg.right_len):
+                return
+            left_frame = min(cfg.left_len, self._shadow_pos)
+            start = self._shadow_pos - left_frame
+            end = min(total, start + cfg.window_len)
+            right_frame = cfg.right_len if (end < total or not last_clip) \
+                else 0
+            n_eff = (end - start) - left_frame - right_frame
+            if n_eff <= 0:
+                return
+            if right_frame == 0:
+                self._shadow_final_start = start
+            self._shadow_pos += n_eff
+
+    def _process_incremental(self, last_clip: bool) -> List[int]:
+        """Feed pending feature rows (plus, at finalize, ``right_len`` zero
+        flush rows that push the last outputs through the layer pipeline) to
+        the cached encoder in ``chunk_len`` steps and decode the output rows
+        that emerge.  Output position p becomes decodable once the feature
+        frontier reaches ``p + right_len`` — the same readiness rule as the
+        canonical window path (its ``future > right_len`` gate), so token
+        order and values are identical."""
+        from transformer_transducer_tpu.streaming.incremental import _BIG
+        cfg = self.cfg
+        chunk = cfg.chunk_len
+        lag = cfg.right_len
+        total = self._sub_base + self.subsampled.shape[0]
+        self._advance_shadow(total, last_clip)
+        if total == 0:
+            return []
+        pend = self.subsampled[self._fed - self._sub_base:]
+        if last_clip:
+            # the canonical final window clips keys at its padded capacity
+            key_limit = (self._shadow_final_start + cfg.window_len
+                         if self._shadow_final_start is not None
+                         else total + lag)
+            pend = np.concatenate(
+                [pend, np.zeros((lag, self._d), np.float32)])
+        else:
+            key_limit = int(_BIG)
+        steps = []  # (rows, n_new, key_limit, valid_start, n_valid)
+        p, n_pend = 0, pend.shape[0]
+        if n_pend == 0:
+            return []
+        while p < n_pend:
+            n_new = min(chunk, n_pend - p)
+            rows = np.zeros((chunk, self._d), np.float32)
+            rows[:n_new] = pend[p:p + n_new]
+            out_start = (self._fed + p) - lag
+            valid_start = max(0, -out_start)
+            n_valid = max(0, min(n_new - valid_start,
+                                 total - (out_start + valid_start)))
+            steps.append((rows, n_new, key_limit, valid_start, n_valid))
+            p += n_new
+        self._fed += n_pend
+        emitted: List[int] = []
+        if self._dec_state is None:
+            self._dec_state = self._predict_last(
+                self.variables, self._buf, self._count)
+        max_bucket = self.CHUNK_BUCKETS[-1]
+        for base in range(0, len(steps), max_bucket):
+            group = steps[base:base + max_bucket]
+            k = next(b for b in self.CHUNK_BUCKETS if b >= len(group))
+            xs = np.zeros((k, chunk, self._d), np.float32)
+            n_news = np.zeros((k,), np.int32)
+            kls = np.full((k,), int(_BIG), np.int32)
+            vss = np.zeros((k,), np.int32)
+            nvs = np.zeros((k,), np.int32)  # padded steps: no-ops
+            for j, (rows, n_new, kl, vs, nv) in enumerate(group):
+                xs[j], n_news[j], kls[j], vss[j], nvs[j] = \
+                    rows, n_new, kl, vs, nv
+            (self._cache, self._buf, self._count, self._dec_state,
+             self._blank_run, self._emitted_any, out) = self._chunk_decode(
+                self.variables, self._enc_stack, self._cache,
+                jnp.asarray(xs), jnp.asarray(n_news), jnp.asarray(kls),
+                jnp.asarray(vss), jnp.asarray(nvs), self._buf, self._count,
+                self._dec_state, self._blank_run, self._emitted_any)
+            out = np.asarray(out)  # ONE host transfer per device call
+            for j, (_, _, _, _, nv) in enumerate(group):
+                emitted += self._emit(out[0, j, :nv], out[1, j, :nv])
+        # fed rows are never re-read from the host buffer
+        drop = min(self._fed, total) - self._sub_base
+        if drop > 0:
+            self.subsampled = self.subsampled[drop:]
+            self._sub_base += drop
+        return emitted
+
     def _emit(self, toks: np.ndarray, splits: np.ndarray) -> List[int]:
         emitted = []
         for tok, split in zip(toks, splits):
@@ -522,6 +726,9 @@ class TrapezoidStreamingSession(StreamingSession):
 
     def __init__(self, model, variables, cfg: StreamingConfig,
                  pred_frame: int = 18, **kwargs):
+        if kwargs.get("incremental"):
+            raise ValueError("the trapezoid (v1) session has no incremental "
+                             "mode; use StreamingSession")
         self.pred_frame = pred_frame
         self.min_win = pred_frame + cfg.right_len
         self.max_win = cfg.left_len + pred_frame + cfg.right_len
