@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--streams", type=int, default=None,
                     help="concurrent streams per device round "
                     "(default: min(len(wavs), 8))")
+    ap.add_argument("--incremental", action="store_true",
+                    help="cached-encoder rounds (native family): O(new "
+                         "frames) encoder work + short greedy scans")
     ap.add_argument("--rtf", action="store_true",
                     help="report aggregate x-realtime")
     ap.add_argument("--set", action="append", default=[], dest="overrides",
@@ -60,7 +63,9 @@ def main():
 
     n_streams = args.streams or min(len(args.wavs), 8)
     scfg = StreamingConfig.from_config(cfg)
-    session = BatchedStreamingSession(model, variables, scfg, n_streams)
+    session = BatchedStreamingSession(
+        model, variables, scfg, n_streams,
+        incremental=getattr(args, "incremental", False))
 
     results = {}
     total_audio_s = 0.0

@@ -326,14 +326,19 @@ def bench_streaming_rtf_flagship(seconds=30, incremental=False):
     return seconds / dt, lat_ms
 
 
-def bench_multistream_flagship(n_streams=8, seconds=30):
-    """8-stream aggregate serving throughput at the FLAGSHIP config."""
+def bench_multistream_flagship(n_streams=8, seconds=30, incremental=False):
+    """8-stream aggregate serving throughput at the FLAGSHIP config.
+
+    ``incremental=True``: cached-encoder rounds — O(new frames) encoder
+    work per stream AND a ~40-slot greedy scan per round instead of the
+    window path's 256 (see streaming/batched.py)."""
     import numpy as np
     from transformer_transducer_tpu.streaming.batched import (
         BatchedStreamingSession)
 
     model, variables, cfg = _flagship_streaming_parts()
-    session = BatchedStreamingSession(model, variables, cfg, n_streams)
+    session = BatchedStreamingSession(model, variables, cfg, n_streams,
+                                      incremental=incremental)
     rs = np.random.RandomState(0)
     wavs = [(rs.randn(16000 * seconds) * 3000).astype("int16")
             for _ in range(n_streams)]
@@ -650,6 +655,7 @@ def main():
         incremental=True)
     multi_rtf = bench_multistream()
     flag_multi_rtf = bench_multistream_flagship()
+    flag_multi_inc_rtf = bench_multistream_flagship(incremental=True)
     dense_ms, banded_ms = bench_banded_attention()
     # MFU: standard convention — required model FLOPs (3x analytic forward;
     # remat recompute not credited) over measured time vs bf16 chip peak
@@ -685,6 +691,8 @@ def main():
             round(flag_inc_lat_ms, 2),
         "multistream_8_aggregate_x_realtime_aishell": round(multi_rtf, 2),
         "multistream_8_aggregate_x_realtime_flagship": round(flag_multi_rtf, 2),
+        "multistream_8_aggregate_x_realtime_flagship_incremental":
+            round(flag_multi_inc_rtf, 2),
         "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),
                                  "pallas": round(banded_ms, 3)},
         "backend": backend,

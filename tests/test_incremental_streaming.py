@@ -9,6 +9,8 @@ reproduced: ``audio/streamRec_unlimit_dynamic_window.py:159-183`` windows +
 ``tt/transformer.py:82-95,128-135`` rel-shift wrap.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -132,6 +134,100 @@ def test_incremental_rejects_trapezoid_and_espnet():
                           feature_dim=4, stack_left=3)
     with pytest.raises(ValueError):
         TrapezoidStreamingSession(model, variables, cfg, incremental=True)
+
+
+def _batched_wav(seed, n=14000):
+    rng = np.random.RandomState(seed)
+    return (np.sin(np.arange(n) * (0.02 + 0.01 * seed)) * 9000
+            + rng.randn(n) * 1500).astype(np.int16)
+
+
+def _batched_cfg():
+    return StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                           feature_dim=4, win_audio=4800 + 480,
+                           audio_step=4800, window_len=64)
+
+
+def test_batched_incremental_matches_canonical():
+    """Batched serving with the cached encoder must produce per-stream
+    results identical to the canonical window rounds (same feed pattern)."""
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+    model, variables = _model(n_layer=2, seed=0)
+    wavs = [_batched_wav(s, 12000 + 1500 * s) for s in range(3)]
+
+    def run(incremental):
+        b = BatchedStreamingSession(model, variables, _batched_cfg(),
+                                    n_streams=3, incremental=incremental)
+        for i, wav in enumerate(wavs):
+            b.accept_waveform(i, wav)
+            b.finalize(i)
+        return b.run_to_completion(), [st.segments for st in b.streams]
+
+    ref, ref_seg = run(False)
+    got, got_seg = run(True)
+    assert any(ref), "degenerate test: no stream emitted anything"
+    assert got == ref
+    assert got_seg == ref_seg
+
+
+def test_batched_incremental_process_equals_drain():
+    """Mid-stream process() rounds + drain must equal a pure drain, and the
+    interim emissions must be a prefix of the final result."""
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+    model, variables = _model(n_layer=2, seed=3)
+    wavs = [_batched_wav(7), _batched_wav(8)]
+
+    b = BatchedStreamingSession(model, variables, _batched_cfg(),
+                                n_streams=2, incremental=True)
+    emitted = [[], []]
+    for pos in range(0, 14000, 3000):
+        for i in range(2):
+            b.accept_waveform(i, wavs[i][pos:pos + 3000])
+        for i, new in enumerate(b.process()):
+            emitted[i].extend(new)
+    for i in range(2):
+        b.finalize(i)
+    results = b.run_to_completion()
+
+    b2 = BatchedStreamingSession(model, variables, _batched_cfg(),
+                                 n_streams=2, incremental=True)
+    for i in range(2):
+        b2.accept_waveform(i, wavs[i])
+        b2.finalize(i)
+    drain = b2.run_to_completion()
+    assert results == drain
+    for i in range(2):
+        assert results[i][:len(emitted[i])] == emitted[i]
+        assert sum(b.streams[i].segments, []) == results[i]
+
+
+@pytest.mark.skipif(os.environ.get("TTX_TEST_TPU") != "1",
+                    reason="on-chip numerics check (TTX_TEST_TPU=1)")
+def test_incremental_encode_close_on_tpu():
+    """Compiled-on-TPU check at realistic width: the incremental encoder's
+    different matmul shapes tile the MXU differently, so f32-via-bf16-pass
+    rounding differs from the window path at the ~6e-3 relative level (the
+    same grouping noise the label-cache/beam tests tolerate) — assert the
+    bound, not bitwise equality."""
+    from transformer_transducer_tpu.ops.masks import context_mask
+    model = Transducer(vocab_size=100, enc=(4, 410, 8, 512, 64, 2048),
+                       dec=(1, 42, 8, 512, 64, 2048), joint_inner=512)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 512)),
+                           jnp.zeros((1, 4), jnp.int32))
+    rs = np.random.RandomState(0)
+    t, fixed = 100, 128
+    feats = rs.randn(t, 512).astype(np.float32)
+    pad = np.zeros((fixed, 512), np.float32)
+    pad[:t] = feats
+    mask = context_mask(fixed, 10, 2)
+    enc = jax.jit(lambda v, x: model.apply(v, x, mask, method="encode"))
+    ref = np.asarray(enc(variables, jnp.asarray(pad[None])))[0, :t]
+    got = incremental_encode(model, variables, feats, left=10, right=2,
+                             window_len=fixed, chunk=40, key_limit=fixed)
+    denom = np.abs(ref).max()
+    assert np.abs(got - ref).max() / denom < 0.02
 
 
 def test_incremental_encode_chunk_size_invariant():

@@ -45,10 +45,18 @@ class _StreamState:
         self.result: List[int] = []
         self.segments: List[List[int]] = [[]]
         self.finished = False
+        # incremental-mode bookkeeping (see session._process_incremental)
+        self.fed = 0
+        self.shadow_pos = 0
+        self.shadow_final_start = None
+        self.flushed = False
+        self.key_limit = None
+        self.pending_flush = 0
 
 
 class BatchedStreamingSession:
-    def __init__(self, model, variables, cfg: StreamingConfig, n_streams: int):
+    def __init__(self, model, variables, cfg: StreamingConfig,
+                 n_streams: int, incremental: bool = False):
         self.model = model
         # device-put once; jitted programs take the parameters as an ARGUMENT
         # (closed-over arrays would be baked into the serialized HLO as
@@ -58,11 +66,27 @@ class BatchedStreamingSession:
         self.cfg = cfg
         self.n = n_streams
         self._d = cfg.feature_dim * (1 + cfg.stack_left)
+        new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
         if cfg.window_len is None:
-            new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
             need = cfg.left_len + new_frames + cfg.right_len
             cfg.window_len = -(-need // 64) * 64
-        self._decode = self._build_batched_decode()
+        if cfg.chunk_len is None:
+            cfg.chunk_len = -(-new_frames // 8) * 8
+        self.incremental = incremental
+        if incremental:
+            from transformer_transducer_tpu.decoding.greedy import (
+                _is_native_family)
+            from transformer_transducer_tpu.streaming.incremental import (
+                stack_encoder_layers)
+            if not _is_native_family(self.variables):
+                raise ValueError(
+                    "incremental mode needs the native family's closed-form "
+                    "banded rel-attention (streaming/incremental.py)")
+            self._enc_stack = jax.device_put(
+                stack_encoder_layers(self.variables, self.model.enc[0]))
+            self._decode = self._build_batched_chunk_decode()
+        else:
+            self._decode = self._build_batched_decode()
         self.reset()
 
     def reset(self):
@@ -76,44 +100,39 @@ class BatchedStreamingSession:
         self._blank_run = jnp.zeros((self.n,), dtype=jnp.int32)
         self._emitted_any = jnp.zeros((self.n,), dtype=jnp.int32)
         self._dec_state = None
+        if self.incremental:
+            from transformer_transducer_tpu.streaming.incremental import (
+                init_cache)
+            e = self.model.enc
+            one = init_cache(e[0], self.cfg.left_context,
+                             self.cfg.right_context, e[3])
+            self._cache = jax.device_put(jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (self.n,) + x.shape).copy(),
+                one))
 
     # rounds per device call for the drain path: one compile per bucket,
     # padded rounds are all-stream no-ops (n_eff = 0)
     ROUND_BUCKETS = (1, 2, 4, 8, 16)
 
     # ------------------------------------------------------------------
-    def _build_batched_decode(self):
+    def _make_frame_scan(self, length: int):
+        """Per-frame greedy scan over ``length`` effective-frame slots for
+        all N streams together (shared by the window and incremental-chunk
+        round programs).  N streams advancing in lockstep makes the
+        next-emission jump degenerate to ~every frame, so a plain scan
+        vectorizes better here than the solo session's ``while_loop``."""
         cfg = self.cfg
         cap = cfg.label_history + 1
         lmask = look_ahead_mask(cap)
-        length = cfg.window_len
-        left, right = cfg.left_context, cfg.right_context
 
         from transformer_transducer_tpu.decoding.greedy import (
-            _is_native_family, predict_last_state)
+            predict_last_state)
 
         def predict_last(variables, buf, count):
             return predict_last_state(self.model, variables, buf, count,
                                       lmask)
-        is_espnet = not _is_native_family(self.variables)
 
-        def round_body(variables, state, xs):
-            """One serving round: encode all N streams' windows + greedy scan.
-            ``xs = (windows (N, L, D), left_frames (N,), n_effs (N,))``."""
-            windows, left_frames, n_effs = xs
-            if is_espnet:
-                # espnet encoder bands internally (model.mask config)
-                enc = self.model.apply(variables, windows, None,
-                                       method="encode")       # (N, L, D)
-            else:
-                amask = context_mask(length, left, right)
-                enc = self.model.apply(variables, windows, amask,
-                                       method="encode")       # (N, L, D)
-            enc_pad = jnp.pad(enc, ((0, 0), (0, length), (0, 0)))
-            enc_eff = jax.vmap(
-                lambda e, lf: jax.lax.dynamic_slice_in_dim(e, lf, length)
-            )(enc_pad, left_frames)                           # (N, L, D)
-
+        def frame_scan(variables, state, enc_eff, n_effs):
             def step(state, t):
                 buf, count, dec_state, blank_run, emitted_any = state
                 enc_t = jax.lax.dynamic_slice_in_dim(enc_eff, t, 1, axis=1)[:, 0]
@@ -146,6 +165,37 @@ class BatchedStreamingSession:
 
             return jax.lax.scan(step, state, jnp.arange(length))
 
+        self._predict_last = jax.jit(predict_last)
+        return frame_scan
+
+    def _build_batched_decode(self):
+        cfg = self.cfg
+        length = cfg.window_len
+        left, right = cfg.left_context, cfg.right_context
+        frame_scan = self._make_frame_scan(length)
+
+        from transformer_transducer_tpu.decoding.greedy import (
+            _is_native_family)
+        is_espnet = not _is_native_family(self.variables)
+
+        def round_body(variables, state, xs):
+            """One serving round: encode all N streams' windows + greedy scan.
+            ``xs = (windows (N, L, D), left_frames (N,), n_effs (N,))``."""
+            windows, left_frames, n_effs = xs
+            if is_espnet:
+                # espnet encoder bands internally (model.mask config)
+                enc = self.model.apply(variables, windows, None,
+                                       method="encode")       # (N, L, D)
+            else:
+                amask = context_mask(length, left, right)
+                enc = self.model.apply(variables, windows, amask,
+                                       method="encode")       # (N, L, D)
+            enc_pad = jnp.pad(enc, ((0, 0), (0, length), (0, 0)))
+            enc_eff = jax.vmap(
+                lambda e, lf: jax.lax.dynamic_slice_in_dim(e, lf, length)
+            )(enc_pad, left_frames)                           # (N, L, D)
+            return frame_scan(variables, state, enc_eff, n_effs)
+
         @jax.jit
         def batched_decode(variables, windows, left_frames, n_effs, buf,
                            count, dec_state, blank_run, emitted_any):
@@ -167,9 +217,72 @@ class BatchedStreamingSession:
                 (windows, left_frames, n_effs))
             return (*state, toks, splits)
 
-        self._predict_last = jax.jit(predict_last)
         self._decode_rounds = batched_decode_rounds
         return batched_decode
+
+    def _build_batched_chunk_decode(self):
+        """Incremental (cached-encoder) round programs: advance every
+        stream's per-layer caches by one feature chunk and greedy-scan the
+        emerging output rows.  Vs the window rounds this cuts BOTH the
+        encoder work (O(new frames) per stream instead of halo re-encode —
+        ~6x at the flagship geometry) and the serial greedy scan
+        (``chunk_len`` ≈ 40 frame slots per round instead of
+        ``window_len`` = 256).  Per-stream numerics equal the solo
+        incremental session (tested)."""
+        cfg = self.cfg
+        chunk = cfg.chunk_len
+        left, right = cfg.left_context, cfg.right_context
+        e = self.model.enc
+        n_head, d_head = e[2], e[4]
+        window_len = cfg.window_len
+        cd = self.model.compute_dtype
+        frame_scan = self._make_frame_scan(chunk)
+
+        from transformer_transducer_tpu.streaming.incremental import (
+            incremental_encode_step)
+
+        def round_body(variables, enc_stack, carry, xs):
+            cache, state = carry
+            x_new, n_news, kls, vss, nvs = xs
+
+            def one(cache_i, x, n, kl):
+                return incremental_encode_step(
+                    enc_stack, cache_i, x, n, kl, left=left, right=right,
+                    window_len=window_len, n_head=n_head, d_head=d_head,
+                    compute_dtype=cd)
+
+            cache, out, _ = jax.vmap(one)(cache, x_new, n_news, kls)
+            out_pad = jnp.pad(out, ((0, 0), (0, chunk), (0, 0)))
+            enc_eff = jax.vmap(
+                lambda o, vs: jax.lax.dynamic_slice_in_dim(o, vs, chunk)
+            )(out_pad, vss)                                  # (N, C, D)
+            state, outs = frame_scan(variables, state, enc_eff, nvs)
+            return (cache, state), outs
+
+        @jax.jit
+        def chunk_decode(variables, enc_stack, cache, x_new, n_news, kls,
+                         vss, nvs, buf, count, dec_state, blank_run,
+                         emitted_any):
+            (cache, state), (toks, splits) = round_body(
+                variables, enc_stack,
+                (cache, (buf, count, dec_state, blank_run, emitted_any)),
+                (x_new, n_news, kls, vss, nvs))
+            return (cache, *state, toks, splits)
+
+        @jax.jit
+        def chunk_decode_rounds(variables, enc_stack, cache, x_new, n_news,
+                                kls, vss, nvs, buf, count, dec_state,
+                                blank_run, emitted_any):
+            """R stacked rounds in ONE device program (the drain path):
+            ``x_new (R, N, C, D)``; outputs ``toks/splits (R, C, N)``."""
+            (cache, state), (toks, splits) = jax.lax.scan(
+                lambda c, xs: round_body(variables, enc_stack, c, xs),
+                (cache, (buf, count, dec_state, blank_run, emitted_any)),
+                (x_new, n_news, kls, vss, nvs))
+            return (cache, *state, toks, splits)
+
+        self._decode_rounds = chunk_decode_rounds
+        return chunk_decode
 
     # ------------------------------------------------------------------
     def accept_waveform(self, stream: int, samples: np.ndarray) -> None:
@@ -257,6 +370,77 @@ class BatchedStreamingSession:
             return None
         return windows, left_frames, n_effs
 
+    def _advance_stream_shadow(self, st: _StreamState, total: int) -> None:
+        """Per-stream mirror of the canonical window geometry (see
+        ``session.StreamingSession._advance_shadow``)."""
+        cfg = self.cfg
+        while True:
+            future = total - st.shadow_pos
+            if future <= 0 or (not st.finished and future <= cfg.right_len):
+                return
+            left_frame = min(cfg.left_len, st.shadow_pos)
+            start = st.shadow_pos - left_frame
+            end = min(total, start + cfg.window_len)
+            right_frame = cfg.right_len if (end < total or not st.finished) \
+                else 0
+            n_eff = (end - start) - left_frame - right_frame
+            if n_eff <= 0:
+                return
+            if right_frame == 0:
+                st.shadow_final_start = start
+            st.shadow_pos += n_eff
+
+    def _gather_chunk_round(self) -> Optional[tuple]:
+        """Host-side geometry of the next incremental round: up to
+        ``chunk_len`` pending feature rows per stream, plus — once a stream
+        is finalized — its ``right_len`` zero flush rows under the canonical
+        final window's key clip (``session._process_incremental`` semantics,
+        per stream)."""
+        from transformer_transducer_tpu.streaming.incremental import _BIG
+        cfg = self.cfg
+        chunk = cfg.chunk_len
+        lag = cfg.right_len
+        x_new = np.zeros((self.n, chunk, self._d), np.float32)
+        n_news = np.zeros((self.n,), np.int32)
+        kls = np.full((self.n,), int(_BIG), np.int32)
+        vss = np.zeros((self.n,), np.int32)
+        nvs = np.zeros((self.n,), np.int32)
+        for i, st in enumerate(self.streams):
+            self._advance_features(st)
+            total = st.sub_base + st.subsampled.shape[0]
+            self._advance_stream_shadow(st, total)
+            if st.finished and not st.flushed and total > 0:
+                st.key_limit = (st.shadow_final_start + cfg.window_len
+                                if st.shadow_final_start is not None
+                                else total + lag)
+                st.pending_flush = lag
+                st.flushed = True
+            n_content = max(0, min(chunk, total - st.fed))
+            n_zero = min(chunk - n_content, st.pending_flush) \
+                if st.flushed else 0
+            n_new = n_content + n_zero
+            if n_new == 0:
+                continue
+            if n_content:
+                rel = st.fed - st.sub_base
+                x_new[i, :n_content] = st.subsampled[rel:rel + n_content]
+            n_news[i] = n_new
+            if st.flushed:
+                kls[i] = st.key_limit
+            out_start = st.fed - lag
+            vss[i] = max(0, -out_start)
+            nvs[i] = max(0, min(n_new - vss[i], total - (out_start + vss[i])))
+            st.fed += n_new
+            st.pending_flush -= n_zero
+            # fed content rows are never re-read
+            drop = min(st.fed, total) - st.sub_base
+            if drop > 0:
+                st.subsampled = st.subsampled[drop:]
+                st.sub_base += drop
+        if not n_news.any():
+            return None
+        return x_new, n_news, kls, vss, nvs
+
     def _emit_round(self, toks: np.ndarray, splits: np.ndarray,
                     n_effs: np.ndarray) -> List[List[int]]:
         """toks/splits (L, N) from one round -> new tokens per stream."""
@@ -276,6 +460,19 @@ class BatchedStreamingSession:
     def process(self) -> List[List[int]]:
         """One fused device round over all streams; returns new tokens per
         stream.  Call repeatedly until it returns all-empty."""
+        if self.incremental:
+            ready = self._gather_chunk_round()
+            if ready is None:
+                return [[] for _ in range(self.n)]
+            x_new, n_news, kls, vss, nvs = ready
+            (self._cache, self._buf, self._count, self._dec_state,
+             self._blank_run, self._emitted_any, toks, splits) = self._decode(
+                self.variables, self._enc_stack, self._cache,
+                jnp.asarray(x_new), jnp.asarray(n_news), jnp.asarray(kls),
+                jnp.asarray(vss), jnp.asarray(nvs), self._buf, self._count,
+                self._ensure_dec(), self._blank_run, self._emitted_any)
+            return self._emit_round(np.asarray(toks), np.asarray(splits),
+                                    nvs)
         ready = self._gather_round()
         if ready is None:
             return [[] for _ in range(self.n)]
@@ -304,12 +501,14 @@ class BatchedStreamingSession:
         assert all(st.finished for st in self.streams), "finalize() all streams"
         max_bucket = self.ROUND_BUCKETS[-1]
         budget = max_rounds
+        gather = (self._gather_chunk_round if self.incremental
+                  else self._gather_round)
         while budget > 0:
             # gather at most one bucket of rounds before decoding it, so
             # host memory stays O(bucket x N windows), not O(total audio)
             group = []
             while len(group) < min(max_bucket, budget):
-                ready = self._gather_round()
+                ready = gather()
                 if ready is None:
                     break
                 group.append(ready)
@@ -317,20 +516,43 @@ class BatchedStreamingSession:
                 break
             budget -= len(group)
             r = next(b for b in self.ROUND_BUCKETS if b >= len(group))
-            windows = np.zeros((r,) + group[0][0].shape, np.float32)
-            left_frames = np.zeros((r, self.n), np.int32)
-            n_effs = np.zeros((r, self.n), np.int32)  # padded rounds: no-ops
-            for j, (w, lf, ne) in enumerate(group):
-                windows[j], left_frames[j], n_effs[j] = w, lf, ne
-            (self._buf, self._count, self._dec_state, self._blank_run,
-             self._emitted_any, toks, splits) = self._decode_rounds(
-                self.variables, jnp.asarray(windows), jnp.asarray(left_frames),
-                jnp.asarray(n_effs), self._buf, self._count,
-                self._ensure_dec(), self._blank_run, self._emitted_any)
+            if self.incremental:
+                x_new = np.zeros((r,) + group[0][0].shape, np.float32)
+                n_news = np.zeros((r, self.n), np.int32)  # pad rounds: no-op
+                from transformer_transducer_tpu.streaming.incremental import (
+                    _BIG)
+                kls = np.full((r, self.n), int(_BIG), np.int32)
+                vss = np.zeros((r, self.n), np.int32)
+                nvs = np.zeros((r, self.n), np.int32)
+                for j, (x, nn, kl, vs, nv) in enumerate(group):
+                    x_new[j], n_news[j], kls[j], vss[j], nvs[j] = \
+                        x, nn, kl, vs, nv
+                (self._cache, self._buf, self._count, self._dec_state,
+                 self._blank_run, self._emitted_any, toks, splits) = \
+                    self._decode_rounds(
+                        self.variables, self._enc_stack, self._cache,
+                        jnp.asarray(x_new), jnp.asarray(n_news),
+                        jnp.asarray(kls), jnp.asarray(vss), jnp.asarray(nvs),
+                        self._buf, self._count, self._ensure_dec(),
+                        self._blank_run, self._emitted_any)
+                gates = [g[4] for g in group]
+            else:
+                windows = np.zeros((r,) + group[0][0].shape, np.float32)
+                left_frames = np.zeros((r, self.n), np.int32)
+                n_effs = np.zeros((r, self.n), np.int32)  # pad rounds: no-op
+                for j, (w, lf, ne) in enumerate(group):
+                    windows[j], left_frames[j], n_effs[j] = w, lf, ne
+                (self._buf, self._count, self._dec_state, self._blank_run,
+                 self._emitted_any, toks, splits) = self._decode_rounds(
+                    self.variables, jnp.asarray(windows),
+                    jnp.asarray(left_frames), jnp.asarray(n_effs), self._buf,
+                    self._count, self._ensure_dec(), self._blank_run,
+                    self._emitted_any)
+                gates = [g[2] for g in group]
             toks = np.asarray(toks)      # (R, L, N) — one host transfer
             splits = np.asarray(splits)
             for j in range(len(group)):
-                self._emit_round(toks[j], splits[j], n_effs[j])
+                self._emit_round(toks[j], splits[j], gates[j])
             if len(group) < max_bucket:
                 break
         return [st.result for st in self.streams]
