@@ -35,22 +35,6 @@ def _model(n_layer=2, d_model=16, vocab=12, seed=0, k_len=64):
     return model, variables
 
 
-def _canonical_key_limit(t, left_len, right_len, step, fixed_len):
-    """Start-of-final-window + fixed_len for the ``chunked_encode`` loop
-    geometry (keys at positions >= this do not exist in the canonical final
-    window's W x W program)."""
-    pos = 0
-    while pos < t:
-        end = min(pos + step + right_len, t)
-        left_frame = min(left_len, pos)
-        start = pos - left_frame
-        right_frame = right_len if end < t else 0
-        if end == t:
-            return start + fixed_len
-        pos += (end - start) - left_frame - right_frame
-    return t + fixed_len
-
-
 @pytest.mark.parametrize("n_layer,left,right,t,chunk", [
     (2, 3, 2, 37, 8),
     (3, 4, 2, 50, 16),
@@ -58,19 +42,17 @@ def _canonical_key_limit(t, left_len, right_len, step, fixed_len):
     (1, 3, 1, 23, 8),
 ])
 def test_incremental_encode_equals_chunked(n_layer, left, right, t, chunk):
+    """The harness default key_limit reproduces chunked_encode's final
+    window clip, so no explicit key_limit is needed here."""
     model, variables = _model(n_layer=n_layer, seed=n_layer + left)
     cfg = StreamingConfig(left_context=left, right_context=right,
                           n_layer=n_layer, feature_dim=4, stack_left=3)
     rng = np.random.RandomState(left + right)
     feats = rng.randn(t, 16).astype(np.float32)
     fixed = 64
-    step = max(cfg.right_len, 1)
     ref = chunked_encode(model, variables, feats, cfg, fixed_len=fixed)
-    key_limit = _canonical_key_limit(t, cfg.left_len, cfg.right_len,
-                                    step, fixed)
     got = incremental_encode(model, variables, feats, left=left, right=right,
-                             window_len=fixed, chunk=chunk,
-                             key_limit=key_limit)
+                             window_len=fixed, chunk=chunk)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 

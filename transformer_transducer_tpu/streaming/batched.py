@@ -66,12 +66,7 @@ class BatchedStreamingSession:
         self.cfg = cfg
         self.n = n_streams
         self._d = cfg.feature_dim * (1 + cfg.stack_left)
-        new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
-        if cfg.window_len is None:
-            need = cfg.left_len + new_frames + cfg.right_len
-            cfg.window_len = -(-need // 64) * 64
-        if cfg.chunk_len is None:
-            cfg.chunk_len = -(-new_frames // 8) * 8
+        cfg.ensure_lengths()
         self.incremental = incremental
         if incremental:
             from transformer_transducer_tpu.decoding.greedy import (
@@ -372,23 +367,12 @@ class BatchedStreamingSession:
 
     def _advance_stream_shadow(self, st: _StreamState, total: int) -> None:
         """Per-stream mirror of the canonical window geometry (see
-        ``session.StreamingSession._advance_shadow``)."""
-        cfg = self.cfg
-        while True:
-            future = total - st.shadow_pos
-            if future <= 0 or (not st.finished and future <= cfg.right_len):
-                return
-            left_frame = min(cfg.left_len, st.shadow_pos)
-            start = st.shadow_pos - left_frame
-            end = min(total, start + cfg.window_len)
-            right_frame = cfg.right_len if (end < total or not st.finished) \
-                else 0
-            n_eff = (end - start) - left_frame - right_frame
-            if n_eff <= 0:
-                return
-            if right_frame == 0:
-                st.shadow_final_start = start
-            st.shadow_pos += n_eff
+        ``session.advance_window_geometry``)."""
+        from transformer_transducer_tpu.streaming.session import (
+            advance_window_geometry)
+        st.shadow_pos, st.shadow_final_start = advance_window_geometry(
+            st.shadow_pos, st.shadow_final_start, total, st.finished,
+            self.cfg)
 
     def _gather_chunk_round(self) -> Optional[tuple]:
         """Host-side geometry of the next incremental round: up to

@@ -101,6 +101,13 @@ def _layer_step(lp, buf, x_new, n_new, pos0, key_limit, *, left, right,
     C = x_new.shape[0]
     K = L + R + C
     H, dh = n_head, d_head
+    # the main-band slice below takes the LAST L+1 table rows directly; a
+    # table shorter than the left context would need the canonical
+    # front-pad-with-row-0 rule (attention._slice_pos_table) instead of
+    # silently mis-slicing (no shipped config comes close: k_len >= 410)
+    assert lp["r_emb"].shape[0] > L, (
+        f"encoder k_len {lp['r_emb'].shape[0]} must exceed left context {L} "
+        "for the incremental closed form")
 
     concat = jnp.concatenate([buf, x_new], axis=0)          # (K, D)
     pos = pos0 - (L + R) + jnp.arange(K)                    # global positions
@@ -224,34 +231,58 @@ def incremental_encode_step(enc_stack, cache, x_new, n_new,
     return new_cache, out, out_start
 
 
+def chunked_encode_key_limit(t: int, left_len: int, right_len: int,
+                             step: int, fixed_len: int) -> int:
+    """Key capacity of ``streaming.session.chunked_encode``'s FINAL window
+    (start-of-final-window + fixed_len): keys at positions >= this do not
+    exist in the canonical W x W program, so the incremental path must mask
+    them to match the tail frames exactly."""
+    pos = 0
+    while pos < t:
+        end = min(pos + step + right_len, t)
+        left_frame = min(left_len, pos)
+        start = pos - left_frame
+        right_frame = right_len if end < t else 0
+        if end == t:
+            return start + fixed_len
+        pos += (end - start) - left_frame - right_frame
+    return t + fixed_len
+
+
 def incremental_encode(model, variables, features: np.ndarray, *,
                        left: int, right: int, window_len: int,
                        chunk: int = 40, key_limit=None) -> np.ndarray:
     """Whole-sequence incremental encode (test/diagnostic harness): feeds
     ``features`` chunk-by-chunk plus the flush tail and reassembles the
-    output stream.  Must equal ``streaming.session.chunked_encode`` at the
-    same pinned ``window_len`` (property-tested)."""
+    output stream.  Equals ``streaming.session.chunked_encode`` at the same
+    pinned ``window_len`` exactly (property-tested) — by default including
+    the canonical final window's key clip (``chunked_encode_key_limit`` at
+    chunked_encode's default ``step``); pass ``key_limit`` explicitly when
+    comparing against a different window geometry."""
     e = model.enc
     n_layer, n_head, d_head, d_model = e[0], e[2], e[4], e[3]
-    enc_stack = stack_encoder_layers(variables, n_layer)
+    enc_stack = jax.device_put(stack_encoder_layers(variables, n_layer))
     cache = init_cache(n_layer, left, right, d_model)
     t = features.shape[0]
     lag = n_layer * right
-    step = jax.jit(lambda st, x, n, kl: incremental_encode_step(
-        enc_stack, st, x, n, kl, left=left, right=right,
+    # enc_stack rides as a jit ARGUMENT (closing over it would bake the
+    # full encoder into the HLO as literal constants — CLAUDE.md rule)
+    step = jax.jit(lambda es, st, x, n, kl: incremental_encode_step(
+        es, st, x, n, kl, left=left, right=right,
         window_len=window_len, n_head=n_head, d_head=d_head,
         compute_dtype=model.compute_dtype))
     padded = np.concatenate(
         [features, np.zeros((lag, features.shape[1]), np.float32)])
     if key_limit is None:
-        key_limit = _BIG
+        key_limit = chunked_encode_key_limit(
+            t, n_layer * left, lag, max(lag, 1), window_len)
     outs = []
     for p in range(0, padded.shape[0], chunk):
         rows = padded[p:p + chunk]
         n_new = rows.shape[0]
         if n_new < chunk:
             rows = np.pad(rows, ((0, chunk - n_new), (0, 0)))
-        cache, out, out_start = step(cache, jnp.asarray(rows),
+        cache, out, out_start = step(enc_stack, cache, jnp.asarray(rows),
                                      jnp.asarray(n_new, jnp.int32),
                                      jnp.asarray(key_limit, jnp.int32))
         out = np.asarray(out)

@@ -101,6 +101,49 @@ class StreamingConfig:
     def right_len(self) -> int:
         return self.n_layer * self.right_context
 
+    @property
+    def new_frames(self) -> int:
+        # per ~1 s audio window: ~(win_audio/160+1) raw frames /subsample
+        return (self.win_audio // 160 + 4) // self.subsample + 2
+
+    def ensure_lengths(self) -> None:
+        """Fill the static program lengths that default from the geometry:
+        ``window_len`` (halos + one window of new frames, rounded up to a
+        lane-friendly multiple of 64) and ``chunk_len`` (one window of new
+        frames, multiple of 8).  Respects explicitly-set values."""
+        if self.window_len is None:
+            need = self.left_len + self.new_frames + self.right_len
+            self.window_len = -(-need // 64) * 64
+        if self.chunk_len is None:
+            self.chunk_len = -(-self.new_frames // 8) * 8
+
+
+def advance_window_geometry(pos: int, final_start: Optional[int],
+                            total: int, last_clip: bool,
+                            cfg: StreamingConfig):
+    """The canonical window-consumption loop's position bookkeeping (pure
+    integer arithmetic, no decoding): consume every ready window given
+    ``total`` available feature rows.  Shared by the window sessions (which
+    also materialize the windows) and the incremental sessions' shadow
+    trackers — the final window's ``final_start`` pins the key-capacity
+    clip that incremental decoding must reproduce (DESIGN.md §3b).
+
+    Returns ``(new_pos, new_final_start)``."""
+    while True:
+        future = total - pos
+        if future <= 0 or (not last_clip and future <= cfg.right_len):
+            return pos, final_start
+        left_frame = min(cfg.left_len, pos)
+        start = pos - left_frame
+        end = min(total, start + cfg.window_len)
+        right_frame = cfg.right_len if (end < total or not last_clip) else 0
+        n_eff = (end - start) - left_frame - right_frame
+        if n_eff <= 0:
+            return pos, final_start
+        if right_frame == 0:
+            final_start = start
+        pos += n_eff
+
 
 class StreamingSession:
     def __init__(self, model: Transducer, variables, cfg: StreamingConfig,
@@ -121,14 +164,7 @@ class StreamingSession:
         self.on_token = on_token
         d_stacked = cfg.feature_dim * (1 + cfg.stack_left)
         self._d = d_stacked
-        new_frames = (cfg.win_audio // 160 + 4) // cfg.subsample + 2
-        if cfg.window_len is None:
-            # per audio window: ~(win_audio/160+1) raw frames /subsample,
-            # plus halos, rounded up to a lane-friendly multiple of 64
-            need = cfg.left_len + new_frames + cfg.right_len
-            cfg.window_len = -(-need // 64) * 64
-        if cfg.chunk_len is None:
-            cfg.chunk_len = -(-new_frames // 8) * 8
+        cfg.ensure_lengths()
         self.incremental = incremental
         if incremental and self._is_espnet():
             raise ValueError(
@@ -569,25 +605,12 @@ class StreamingSession:
     # ----- incremental (cached-encoder) feed path ---------------------
     def _advance_shadow(self, total: int, last_clip: bool) -> None:
         """Mirror the canonical window loop's feature-position bookkeeping
-        (pure integer arithmetic, no decoding) so the final window's key
-        clip — the one place window geometry reaches the numerics — can be
-        reproduced exactly under the same feed pattern."""
-        cfg = self.cfg
-        while True:
-            future = total - self._shadow_pos
-            if future <= 0 or (not last_clip and future <= cfg.right_len):
-                return
-            left_frame = min(cfg.left_len, self._shadow_pos)
-            start = self._shadow_pos - left_frame
-            end = min(total, start + cfg.window_len)
-            right_frame = cfg.right_len if (end < total or not last_clip) \
-                else 0
-            n_eff = (end - start) - left_frame - right_frame
-            if n_eff <= 0:
-                return
-            if right_frame == 0:
-                self._shadow_final_start = start
-            self._shadow_pos += n_eff
+        (no decoding) so the final window's key clip — the one place window
+        geometry reaches the numerics — is reproduced exactly under the
+        same feed pattern."""
+        self._shadow_pos, self._shadow_final_start = advance_window_geometry(
+            self._shadow_pos, self._shadow_final_start, total, last_clip,
+            self.cfg)
 
     def _process_incremental(self, last_clip: bool) -> List[int]:
         """Feed pending feature rows (plus, at finalize, ``right_len`` zero
