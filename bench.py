@@ -223,12 +223,19 @@ def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
     return _best_of(chain, params, opt_state, batch_d, divisor=n_chain) * 1e3
 
 
-def bench_train_step_flagship(batch=4, t=410, u=42, n_chain=4):
+def bench_train_step_flagship(batch=4, t=410, u=42, n_chain=4,
+                              pruned_range=None):
     """Training step at the FLAGSHIP streaming geometry — the reference's
     actual product model (``config/joint_streaming.yaml:22-44``): 18-layer
     encoder (d_inner 2048), 2-layer label encoder, joint inner 2048, vocab
     6485 — bf16, scan-chained like ``bench_train_step``.  Returns
-    (ms_per_step, mfu)."""
+    (ms_per_step, mfu).
+
+    ``pruned_range=N``: the pruned transducer loss (width-N label band,
+    ops/rnnt_loss_pruned.py).  The returned MFU still counts FULL-grid
+    model FLOPs (pruning is a work REDUCTION; utilization of the smaller
+    workload is not comparable) — read the ms, not the MFU, for this
+    variant."""
     from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.training import optim as optim_lib
     from transformer_transducer_tpu.training.train_step import (
@@ -250,7 +257,8 @@ def bench_train_step_flagship(batch=4, t=410, u=42, n_chain=4):
         Config({"type": "sgd", "lr": 2e-4, "momentum": 0.9}), 200.0)
     opt_state = tx.init(params)
     step = make_train_step(model, tx, TrainStepConfig(
-        compute_dtype=jnp.bfloat16, loss_chunk_size=16))
+        compute_dtype=jnp.bfloat16, loss_chunk_size=16,
+        loss_pruned_range=pruned_range))
 
     @jax.jit
     def chain(p, o, batch_d):
@@ -643,6 +651,7 @@ def main():
     step_ms32 = bench_train_step(batch=32)
     esp_step_ms = bench_train_step_espnet()
     flag_ms, flag_mfu = bench_train_step_flagship()
+    flag_pruned_ms, _ = bench_train_step_flagship(pruned_range=5)
     beam_rtf = bench_beam_rtf()
     beam_rtf_15 = bench_beam_rtf(emission_density=0.15)
     flag_beam_rtf_15 = bench_beam_rtf(emission_density=0.15, flagship=True)
@@ -669,6 +678,7 @@ def main():
         "train_step_ms_aishell_b32": round(step_ms32, 2),
         "train_step_ms_espnet_b4": round(esp_step_ms, 2),
         "train_step_ms_flagship_b4": round(flag_ms, 2),
+        "train_step_ms_flagship_b4_pruned5": round(flag_pruned_ms, 2),
         "beam5_x_realtime_b8_aishell_dense": round(beam_rtf, 2),
         "beam5_x_realtime_b8_aishell_15pct": round(beam_rtf_15, 2),
         "beam5_x_realtime_b8_flagship_15pct": round(flag_beam_rtf_15, 2),

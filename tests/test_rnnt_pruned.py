@@ -1,0 +1,167 @@
+"""Pruned RNN-T loss (ops/rnnt_loss_pruned.py).
+
+The load-bearing property is the UNPRUNED LIMIT: with s_range >= U+1 the
+band covers the whole grid and the pruned loss must equal the full fused
+loss bit-for-bit-ish (same lattice, same joint) — values AND gradients.
+Narrow bands drop paths, so the pruned NLL upper-bounds the full NLL.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_transducer_tpu.ops.rnnt_loss import (
+    rnnt_loss_fused, rnnt_loss_grid)
+from transformer_transducer_tpu.ops.rnnt_loss_pruned import (
+    banded_grid_logprobs, pruned_bounds, rnnt_loss_banded_grid,
+    rnnt_loss_pruned, simple_grid_logprobs)
+
+
+def _problem(seed=0, b=3, t=11, u=4, v=7, inner=6, d=5):
+    rng = np.random.RandomState(seed)
+    enc = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    dec = jnp.asarray(rng.randn(b, u + 1, d).astype(np.float32))
+    jp = tuple(jnp.asarray(rng.randn(*s).astype(np.float32) * 0.5)
+               for s in [(d, inner), (d, inner), (inner,), (inner, v), (v,)])
+    labels = jnp.asarray(rng.randint(1, v, (b, u)), dtype=jnp.int32)
+    t_len = jnp.asarray([t, t - 2, t - 5])
+    u_len = jnp.asarray([u, u - 1, u - 2])
+    return enc, dec, jp, labels, t_len, u_len
+
+
+def test_banded_grid_dp_equals_full_dp():
+    """With rs = 0 and s_range = U+1, the band DP is the full DP."""
+    rng = np.random.RandomState(1)
+    b, t, u1 = 3, 9, 5
+    lp_b = jnp.asarray(rng.randn(b, t, u1).astype(np.float32))
+    lp_l = jnp.asarray(rng.randn(b, t, u1).astype(np.float32))
+    t_len = jnp.asarray([t, t - 1, t - 3])
+    u_len = jnp.asarray([u1 - 1, u1 - 2, u1 - 3])
+    # the full DP masks label columns >= u_len internally; mask explicitly
+    # for the banded one (banded_grid_logprobs does it in the fused path)
+    has_label = jnp.arange(u1)[None, None, :] < u_len[:, None, None]
+    lp_l_m = jnp.where(has_label, lp_l, -1e30)
+    rs = jnp.zeros((b, t), jnp.int32)
+    full = rnnt_loss_grid(lp_b, lp_l, t_len, u_len)
+    band = rnnt_loss_banded_grid(lp_b, lp_l_m, rs, t_len, u_len)
+    np.testing.assert_allclose(np.asarray(band), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("activation", ["tanh", "relu"])
+def test_unpruned_limit_matches_fused(activation):
+    """s_range >= U+1 => loss and gradients equal rnnt_loss_fused."""
+    enc, dec, jp, labels, t_len, u_len = _problem()
+    u1 = dec.shape[1]
+
+    def full(args):
+        enc, dec, jp = args
+        return rnnt_loss_fused(enc, dec, jp, labels, t_len, u_len,
+                               chunk_size=4, activation=activation)
+
+    def pruned(args):
+        enc, dec, jp = args
+        return rnnt_loss_pruned(enc, dec, jp, labels, t_len, u_len,
+                                s_range=u1, chunk_size=4,
+                                activation=activation)
+
+    args = (enc, dec, jp)
+    lf, gf = jax.value_and_grad(full)(args)
+    lp, gp = jax.value_and_grad(pruned)(args)
+    np.testing.assert_allclose(float(lp), float(lf), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gf),
+                     jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_pruned_upper_bounds_full():
+    """Narrow bands drop paths: pruned per-seq NLL >= full NLL."""
+    enc, dec, jp, labels, t_len, u_len = _problem(seed=2)
+    full = rnnt_loss_fused(enc, dec, jp, labels, t_len, u_len,
+                           chunk_size=4, reduction="none")
+    for s_range in (2, 3):
+        pr = rnnt_loss_pruned(enc, dec, jp, labels, t_len, u_len,
+                              s_range=s_range, chunk_size=4,
+                              reduction="none")
+        assert np.all(np.asarray(pr) >= np.asarray(full) - 1e-4), \
+            (s_range, pr, full)
+
+
+def test_bounds_invariants():
+    enc, dec, jp, labels, t_len, u_len = _problem(seed=3)
+    sp_b, sp_l = simple_grid_logprobs(enc, dec, jp, labels)
+    for s_range in (2, 3, 5):
+        rs = np.asarray(pruned_bounds(sp_b, sp_l, t_len, u_len, s_range))
+        assert rs.shape == (enc.shape[0], enc.shape[1])
+        assert (rs[:, 0] == 0).all()
+        gaps = np.diff(rs, axis=1)
+        assert (gaps >= 0).all() and (gaps <= s_range - 1).all()
+        u_hi = np.maximum(np.asarray(u_len) - (s_range - 1), 0)
+        assert (rs <= u_hi[:, None]).all()
+        # terminal coverage: (t_len-1, u_len) inside the final band
+        for i in range(rs.shape[0]):
+            tf = int(t_len[i]) - 1
+            assert rs[i, tf] <= int(u_len[i]) <= rs[i, tf] + s_range - 1
+
+
+def test_pruned_loss_trains():
+    """A few SGD steps on the pruned loss must reduce it (gradients flow
+    through the banded joint; the bounds are stop-gradient)."""
+    enc, dec, jp, labels, t_len, u_len = _problem(seed=4)
+
+    def loss(jp):
+        return rnnt_loss_pruned(enc, dec, jp, labels, t_len, u_len,
+                                s_range=3, chunk_size=4, simple_scale=0.25)
+
+    g = jax.jit(jax.grad(loss))
+    lf = jax.jit(loss)
+    first = float(lf(jp))
+    for _ in range(12):
+        jp = jax.tree_util.tree_map(lambda p, gr: p - 0.05 * gr, jp, g(jp))
+    assert float(lf(jp)) < first
+
+
+def test_trainer_with_pruned_loss(tmp_path):
+    """End-to-end: training.loss_pruned_range selects the pruned loss in
+    the sharded train step, and the loop still learns."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from data_helpers import make_corpus, tiny_train_config
+    from transformer_transducer_tpu.training.trainer import Trainer
+
+    root = str(tmp_path / "synth")
+    vocab_path, csvs = make_corpus(root)
+    cfg = tiny_train_config(root, vocab_path, csvs)
+    cfg.override("training.loss_pruned_range", 3)
+    trainer = Trainer(cfg, exp_root=str(tmp_path / "egs"))
+    assert trainer.step_cfg.loss_pruned_range == 3
+    train_loader, _ = trainer.make_loaders()
+    losses = [trainer.train_epoch(e, train_loader) for e in range(2)]
+    assert np.all(np.isfinite(losses))
+    assert losses[1] < losses[0]
+
+
+def test_banded_grids_match_full_joint_on_band():
+    """banded_grid_logprobs must agree with the fused full-grid log-probs
+    at the banded cells."""
+    from transformer_transducer_tpu.ops.rnnt_loss import fused_grid_logprobs
+    enc, dec, jp, labels, t_len, u_len = _problem(seed=5)
+    s_range = 3
+    sp_b, sp_l = simple_grid_logprobs(enc, dec, jp, labels)
+    rs = pruned_bounds(sp_b, sp_l, t_len, u_len, s_range)
+    bb, bl = banded_grid_logprobs(enc, dec, jp, labels, rs, u_len, s_range,
+                                  chunk_size=4)
+    fb, fl = fused_grid_logprobs(enc, dec, jp, labels, chunk_size=4)
+    rs_n = np.asarray(rs)
+    for i in range(enc.shape[0]):
+        for t in range(int(t_len[i])):
+            for s in range(s_range):
+                u = rs_n[i, t] + s
+                np.testing.assert_allclose(
+                    float(bb[i, t, s]), float(fb[i, t, u]), rtol=1e-5)
+                if u < int(u_len[i]):
+                    np.testing.assert_allclose(
+                        float(bl[i, t, s]), float(fl[i, t, u]), rtol=1e-5)

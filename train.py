@@ -36,6 +36,10 @@ def main():
                         "banded kernel (fwd+bwd)")
     parser.add_argument("--augment", action="store_true",
                         help="enable waveform augmentation chain")
+    parser.add_argument("--pruned-range", type=int, default=None,
+                        metavar="N", help="pruned transducer loss with a "
+                        "width-N label band (~(U+1)/N less joint work; "
+                        "same as --set training.loss_pruned_range=N)")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler (TensorBoard/xprof) "
@@ -55,6 +59,8 @@ def main():
     apply_overrides(cfg, args.set)
     if args.steps_per_call:
         cfg.override("training.steps_per_call", args.steps_per_call)
+    if args.pruned_range:
+        cfg.override("training.loss_pruned_range", args.pruned_range)
 
     trainer = Trainer(cfg, mode=args.mode, log_file=args.log,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

@@ -46,6 +46,13 @@ class TrainStepConfig:
     # (HBM-bound; see fused_grid_logprobs docstring) — keep True unless the
     # vocab/T are small enough that residuals stay cache-resident.
     loss_remat: bool = True
+    # > 0 = pruned transducer loss (ops/rnnt_loss_pruned.py): the joint is
+    # evaluated only on a width-N band of label positions around the
+    # alignment (~(U+1)/N times less joint work).  None/0 = full loss.
+    loss_pruned_range: Optional[int] = None
+    # auxiliary linearized-joint NLL weight in the pruned loss (k2's
+    # simple-loss term; keeps the corridor estimate aligned)
+    loss_simple_scale: float = 0.25
 
 
 def make_loss_fn(model, cfg: TrainStepConfig,
@@ -82,6 +89,18 @@ def make_loss_fn(model, cfg: TrainStepConfig,
         # the espnet joint supports relu — the fused loss must apply the
         # SAME activation the model's joint_logits/decoding use
         act = getattr(model, "joint_activation", "tanh") or "tanh"
+        if cfg.loss_pruned_range:
+            from transformer_transducer_tpu.ops.rnnt_loss_pruned import (
+                rnnt_loss_pruned)
+            return rnnt_loss_pruned(enc, dec, jp, batch["targets"],
+                                    t_len, batch["targets_length"],
+                                    s_range=int(cfg.loss_pruned_range),
+                                    chunk_size=cfg.loss_chunk_size,
+                                    compute_dtype=cfg.compute_dtype,
+                                    reduction=reduction,
+                                    remat=cfg.loss_remat,
+                                    activation=act,
+                                    simple_scale=cfg.loss_simple_scale)
         return rnnt_loss_fused(enc, dec, jp, batch["targets"],
                                t_len, batch["targets_length"],
                                chunk_size=cfg.loss_chunk_size,

@@ -125,9 +125,16 @@ class Trainer:
         # — see ops/rnnt_loss.fused_grid_logprobs).  Explicit false stores
         # joint residuals instead; only sensible for small vocab/T.
         lr_ = config.training.loss_remat
+        # training.loss_pruned_range: band width N > 0 selects the pruned
+        # transducer loss (ops/rnnt_loss_pruned.py); absent = full loss.
+        pr_ = config.training.loss_pruned_range
+        ss_ = config.training.loss_simple_scale
         self.step_cfg = TrainStepConfig(compute_dtype=compute_dtype,
                                         specaug=True if sa is None else bool(sa),
-                                        loss_remat=True if lr_ is None else bool(lr_))
+                                        loss_remat=True if lr_ is None else bool(lr_),
+                                        loss_pruned_range=int(pr_) if pr_ else None,
+                                        loss_simple_scale=0.25 if ss_ is None
+                                        else float(ss_))
         self.train_step = compile_train_step(
             self.model, self.tx, self.mesh, self.params, self.opt_state,
             self.step_cfg)
