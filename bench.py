@@ -291,7 +291,43 @@ def _flagship_streaming_parts():
     return model, variables, cfg
 
 
-def bench_streaming_rtf_flagship(seconds=30, incremental=False):
+def _controlled_density_variables(model, variables, wav, cfg,
+                                  density=0.15):
+    """Zero the joint's dec-side weights and set the blank bias at the
+    (1-density)-quantile of the session's OWN feature distribution (the
+    same rig as ``bench_beam_rtf``): the greedy gate then fires on ~that
+    fraction of frames — the trained-model serving regime — with
+    identical compute shapes."""
+    import numpy as np
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.ops import features_np as F
+    from transformer_transducer_tpu.ops.masks import context_mask
+
+    joint = variables["params"]["joint"]
+    w1 = joint["forward_layer"]["kernel"]
+    d_enc = w1.shape[0] // 2
+    joint["forward_layer"]["kernel"] = w1.at[d_enc:].set(0.0)
+    feats = F.subsample(F.stack_frames(
+        F.logmel_masked(wav[:16000 * 8], 16000, cfg.feature_dim),
+        cfg.stack_left, 0), cfg.subsample)
+    t = min(feats.shape[0], 256)
+    x = jnp.asarray(feats[None, :t])
+    mask = context_mask(t, cfg.left_context, cfg.right_context)
+    enc = model.apply(variables, x, mask, method=Transducer.encode)[0]
+    dec0 = model.apply(variables, jnp.zeros((1, 1), jnp.int32), None,
+                       method="predict")[:, 0]
+    logits = model.apply(variables, enc,
+                         jnp.broadcast_to(dec0, (t, dec0.shape[-1])),
+                         method="joint_logits")
+    diff = jnp.max(logits[:, 1:], axis=-1) - logits[:, 0]
+    bias = float(jnp.quantile(diff.astype(jnp.float32), 1.0 - density))
+    joint["project_layer"]["bias"] = \
+        joint["project_layer"]["bias"].at[0].add(bias)
+    return variables
+
+
+def bench_streaming_rtf_flagship(seconds=30, incremental=False,
+                                 emission_density=None):
     """Warm streaming RTF + cadence at the FLAGSHIP config (18-layer
     encoder, 180/36-frame halos — ``audio/streamRec_unlimit_dynamic_window
     .py:56-62``); same two regimes as ``bench_streaming_rtf``.
@@ -299,14 +335,21 @@ def bench_streaming_rtf_flagship(seconds=30, incremental=False):
     ``incremental=True`` uses the cached-encoder session
     (``streaming/incremental.py``): O(new frames) encoder work per step
     instead of re-encoding the 180+36-frame halo around every ~33 new
-    frames (~a 7.6x FLOP redundancy at this geometry)."""
+    frames (~a 7.6x FLOP redundancy at this geometry).
+
+    ``emission_density=None`` keeps the random-init joint (greedy emits on
+    ~every frame — the emission loop's worst case); 0.15 pins the gate at
+    the trained-model serving rate via ``_controlled_density_variables``."""
     import numpy as np
     from transformer_transducer_tpu.streaming.session import StreamingSession
 
     model, variables, cfg = _flagship_streaming_parts()
-    session = StreamingSession(model, variables, cfg, incremental=incremental)
     rs = np.random.RandomState(0)
     wav = (rs.randn(16000 * seconds) * 3000).astype("int16")
+    if emission_density is not None:
+        variables = _controlled_density_variables(model, variables, wav,
+                                                  cfg, emission_density)
+    session = StreamingSession(model, variables, cfg, incremental=incremental)
     session.accept_waveform(wav)
     session.finalize()
     dt = 1e9
@@ -662,6 +705,9 @@ def main():
     flag_rtf, flag_lat_ms = bench_streaming_rtf_flagship()
     flag_inc_rtf, flag_inc_lat_ms = bench_streaming_rtf_flagship(
         incremental=True)
+    flag_rtf_15, _ = bench_streaming_rtf_flagship(emission_density=0.15)
+    flag_inc_rtf_15, _ = bench_streaming_rtf_flagship(
+        incremental=True, emission_density=0.15)
     multi_rtf = bench_multistream()
     flag_multi_rtf = bench_multistream_flagship()
     flag_multi_inc_rtf = bench_multistream_flagship(incremental=True)
@@ -699,6 +745,9 @@ def main():
             round(flag_inc_rtf, 2),
         "streaming_cadence_ms_per_window_flagship_incremental":
             round(flag_inc_lat_ms, 2),
+        "streaming_x_realtime_warm_flagship_15pct": round(flag_rtf_15, 2),
+        "streaming_x_realtime_warm_flagship_15pct_incremental":
+            round(flag_inc_rtf_15, 2),
         "multistream_8_aggregate_x_realtime_aishell": round(multi_rtf, 2),
         "multistream_8_aggregate_x_realtime_flagship": round(flag_multi_rtf, 2),
         "multistream_8_aggregate_x_realtime_flagship_incremental":

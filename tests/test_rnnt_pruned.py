@@ -124,6 +124,79 @@ def test_pruned_loss_trains():
     assert float(lf(jp)) < first
 
 
+def test_logz_kernel_interpret_matches_oracle():
+    """Pallas additive-logZ kernel (interpret mode) vs the XLA scan."""
+    from transformer_transducer_tpu.ops.pallas.logz_kernel import (
+        _logz_pallas, additive_logz_xla)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(2, 19, 37).astype(np.float32))
+    l = jnp.asarray(rng.randn(2, 6, 37).astype(np.float32))
+    ref = additive_logz_xla(a, l)
+    got = _logz_pallas(a, l, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(__import__("os").environ.get("TTX_TEST_TPU") != "1",
+                    reason="on-chip kernel check (TTX_TEST_TPU=1)")
+def test_logz_kernel_compiled_on_tpu():
+    from transformer_transducer_tpu.ops.pallas.logz_kernel import (
+        _logz_pallas, additive_logz_xla)
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(2, 300, 1000).astype(np.float32))
+    l = jnp.asarray(rng.randn(2, 43, 1000).astype(np.float32))
+    ref = additive_logz_xla(a, l)
+    got = _logz_pallas(a, l)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_additive_logz_grad_matches_autodiff():
+    """The custom VJP (scan backward) vs autodiff through the oracle."""
+    from transformer_transducer_tpu.ops.pallas.logz_kernel import (
+        additive_logz, additive_logz_xla)
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(2, 7, 13).astype(np.float32))
+    l = jnp.asarray(rng.randn(2, 4, 13).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 7, 4).astype(np.float32))
+    ga, gl = jax.grad(lambda a, l: jnp.sum(additive_logz(a, l) * w),
+                      argnums=(0, 1))(a, l)
+    ra, rl = jax.grad(lambda a, l: jnp.sum(additive_logz_xla(a, l) * w),
+                      argnums=(0, 1))(a, l)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_simple_loss_and_occ_consistent():
+    """One-sweep loss+occ: loss == rnnt_loss_grid, occ == -grad, and the
+    loss output's custom gradient == jax.grad of rnnt_loss_grid."""
+    from transformer_transducer_tpu.ops.rnnt_loss_pruned import (
+        simple_loss_and_occ)
+    rng = np.random.RandomState(2)
+    b, t, u1 = 3, 8, 5
+    pb = jnp.asarray(rng.randn(b, t, u1).astype(np.float32))
+    pl_ = jnp.asarray(rng.randn(b, t, u1).astype(np.float32))
+    t_len = jnp.asarray([t, t - 1, t - 2])
+    u_len = jnp.asarray([u1 - 1, u1 - 2, 1])
+    losses, occ = simple_loss_and_occ(pb, pl_, t_len, u_len)
+    ref = rnnt_loss_grid(pb, pl_, t_len, u_len)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref),
+                               rtol=1e-5)
+    gb, gl = jax.grad(lambda pb, pl_: jnp.sum(
+        rnnt_loss_grid(pb, pl_, t_len, u_len)), argnums=(0, 1))(pb, pl_)
+    np.testing.assert_allclose(np.asarray(occ), np.asarray(-(gb + gl)),
+                               rtol=1e-5, atol=1e-6)
+    w = jnp.asarray(rng.randn(b).astype(np.float32))
+    g1 = jax.grad(lambda pb: jnp.sum(
+        simple_loss_and_occ(pb, pl_, t_len, u_len)[0] * w))(pb)
+    g2 = jax.grad(lambda pb: jnp.sum(
+        rnnt_loss_grid(pb, pl_, t_len, u_len) * w))(pb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_trainer_with_pruned_loss(tmp_path):
     """End-to-end: training.loss_pruned_range selects the pruned loss in
     the sharded train step, and the loop still learns."""

@@ -45,8 +45,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from transformer_transducer_tpu.ops.rnnt_loss import (
-    NEG, _logaddexp, rnnt_loss_grid)
+from transformer_transducer_tpu.ops.rnnt_loss import NEG, _logaddexp
 
 
 # ---------------------------------------------------------------------------
@@ -58,52 +57,80 @@ def simple_grid_logprobs(enc: jax.Array, dec: jax.Array, joint_params,
                          compute_dtype=jnp.float32
                          ) -> Tuple[jax.Array, jax.Array]:
     """Blank/label log-prob grids (each (B, T, U+1)) of the LINEARIZED
-    joint ``A[t] + L[u]`` (no activation).  A scan over u keeps the
-    working set at one (B, T, V) slab."""
+    joint ``A[t] + L[u]`` (no activation).
+
+    The additive structure means only the normalizer needs a (t, u, v)
+    sweep — done by the VMEM-resident Pallas kernel
+    (``ops/pallas/logz_kernel.py``; A read from HBM once instead of U+1
+    times); the blank/label numerators are two gathers."""
+    from transformer_transducer_tpu.ops.pallas.logz_kernel import (
+        additive_logz)
     w_enc, w_dec, b1, w_out, b_out = joint_params
     cd = compute_dtype
     a_grid = ((enc.astype(cd) @ w_enc.astype(cd)) @ w_out.astype(cd)
               ).astype(jnp.float32)                       # (B, T, V)
     l_grid = (((dec.astype(cd) @ w_dec.astype(cd) + b1) @ w_out.astype(cd)
                + b_out)).astype(jnp.float32)              # (B, U1, V)
+    b, t, _ = a_grid.shape
     u1 = dec.shape[1]
     labels_pad = jnp.pad(labels, ((0, 0), (0, u1 - labels.shape[1])),
                          constant_values=blank)
-
-    def per_u(_, xs):
-        l_row, lab = xs                                   # (B, V), (B,)
-        s = a_grid + l_row[:, None, :]                    # (B, T, V)
-        lse = jax.nn.logsumexp(s, axis=-1)
-        lp_b = s[..., blank] - lse
-        lp_l = jnp.take_along_axis(
-            s, lab[:, None, None].repeat(s.shape[1], axis=1), axis=-1
-        )[..., 0] - lse
-        return None, (lp_b, lp_l)
-
-    _, (lp_b, lp_l) = jax.lax.scan(
-        per_u, None, (l_grid.swapaxes(0, 1), labels_pad.swapaxes(0, 1)))
-    return lp_b.transpose(1, 2, 0), lp_l.transpose(1, 2, 0)
+    log_z = additive_logz(a_grid, l_grid)                 # (B, T, U1)
+    a_lab = jnp.take_along_axis(
+        a_grid, jnp.broadcast_to(labels_pad[:, None, :], (b, t, u1)), axis=2)
+    l_lab = jnp.take_along_axis(l_grid, labels_pad[:, :, None], axis=2)[..., 0]
+    lp_b = (a_grid[..., blank][:, :, None] + l_grid[..., blank][:, None, :]
+            - log_z)
+    lp_l = a_lab + l_lab[:, None, :] - log_z
+    return lp_b, lp_l
 
 
 # ---------------------------------------------------------------------------
 # Stage 2: pruning bounds
 # ---------------------------------------------------------------------------
 
-def pruned_bounds(lp_b: jax.Array, lp_l: jax.Array, t_len: jax.Array,
-                  u_len: jax.Array, s_range: int) -> jax.Array:
-    """Band starts ``rs`` (B, T) int32 from simple-lattice occupancies.
+@jax.custom_vjp
+def simple_loss_and_occ(lp_b: jax.Array, lp_l: jax.Array, t_len: jax.Array,
+                        u_len: jax.Array
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Simple-lattice NLL (B,) AND occupancy posteriors (B, T, U+1) from
+    ONE alpha+beta sweep.  ``jax.grad`` of the loss would run a second
+    full sweep just to read the posteriors the backward already computes;
+    this custom rule exposes them as an output (treated as constant by
+    the VJP — use for the stop-gradient pruning bounds) and reuses them
+    as the saved residual for the loss gradient."""
+    return _sl_fwd(lp_b, lp_l, t_len, u_len)[0]
+
+
+def _sl_fwd(lp_b, lp_l, t_len, u_len):
+    from transformer_transducer_tpu.ops.rnnt_loss import _rnnt_bwd, _rnnt_fwd
+    losses, res = _rnnt_fwd(lp_b, lp_l, t_len, u_len)
+    # d grids for g = 1: exactly -occupancy
+    d_b, d_l = _rnnt_bwd(res, jnp.ones_like(losses))[:2]
+    occ = -(d_b + d_l)
+    return (losses, occ), (d_b, d_l)
+
+
+def _sl_bwd(saved, gs):
+    d_b, d_l = saved
+    g_loss, _ = gs          # the occ output is non-differentiable by design
+    g = g_loss[:, None, None]
+    return d_b * g, d_l * g, None, None
+
+
+simple_loss_and_occ.defvjp(_sl_fwd, _sl_bwd)
+
+
+def bounds_from_occ(occ: jax.Array, t_len: jax.Array, u_len: jax.Array,
+                    s_range: int) -> jax.Array:
+    """Band starts ``rs`` (B, T) int32 from occupancy posteriors.
 
     Guarantees (by construction): ``rs[:, 0] == 0``; ``0 <= rs[:, t+1] -
     rs[:, t] <= s_range - 1`` (a path can always continue into the next
     band); ``rs[:, t_len-1] + s_range > u_len`` (the terminal cell is in
     the final band, feasibility permitting); ``rs <= max(0, u_len -
     s_range + 1)``."""
-    b, t, u1 = lp_b.shape
-    occ_fn = jax.grad(
-        lambda pb, pl: jnp.sum(rnnt_loss_grid(pb, pl, t_len, u_len)),
-        argnums=(0, 1))
-    d_b, d_l = occ_fn(lp_b, lp_l)
-    occ = -(d_b + d_l)                                    # posterior >= 0
+    b, t, u1 = occ.shape
     u_idx = jnp.arange(u1, dtype=jnp.float32)
     tot = jnp.sum(occ, axis=-1)
     center = jnp.sum(occ * u_idx, axis=-1) / jnp.maximum(tot, 1e-6)
@@ -125,6 +152,16 @@ def pruned_bounds(lp_b: jax.Array, lp_l: jax.Array, t_len: jax.Array,
     _, rs_f = jax.lax.scan(fwd, r0, raw[:, 1:].swapaxes(0, 1))
     rs = jnp.concatenate([r0[None], rs_f], axis=0).swapaxes(0, 1)
     return jax.lax.stop_gradient(rs)
+
+
+def pruned_bounds(lp_b: jax.Array, lp_l: jax.Array, t_len: jax.Array,
+                  u_len: jax.Array, s_range: int) -> jax.Array:
+    """Band starts straight from simple grids (tests/diagnostics; the
+    training path reuses the occupancies from ``simple_loss_and_occ``)."""
+    _, occ = simple_loss_and_occ(jax.lax.stop_gradient(lp_b),
+                                 jax.lax.stop_gradient(lp_l), t_len, u_len)
+    return bounds_from_occ(jax.lax.stop_gradient(occ), t_len, u_len,
+                           s_range)
 
 
 # ---------------------------------------------------------------------------
@@ -252,16 +289,19 @@ def rnnt_loss_pruned(enc: jax.Array, dec: jax.Array, joint_params,
     u_len = jnp.minimum(u_len, dec.shape[1] - 1)
     sp_b, sp_l = simple_grid_logprobs(enc, dec, joint_params, labels,
                                       blank, compute_dtype)
-    rs = pruned_bounds(jax.lax.stop_gradient(sp_b),
-                       jax.lax.stop_gradient(sp_l),
-                       t_len, u_len, s_range)
+    if not simple_scale:
+        # bounds are the grids' only consumer: keep the whole simple
+        # pipeline out of the backward pass
+        sp_b = jax.lax.stop_gradient(sp_b)
+        sp_l = jax.lax.stop_gradient(sp_l)
+    simple_losses, occ = simple_loss_and_occ(sp_b, sp_l, t_len, u_len)
+    rs = bounds_from_occ(jax.lax.stop_gradient(occ), t_len, u_len, s_range)
     lp_b, lp_l = banded_grid_logprobs(enc, dec, joint_params, labels, rs,
                                       u_len, s_range, blank, chunk_size,
                                       compute_dtype, remat, activation)
     losses = rnnt_loss_banded_grid(lp_b, lp_l, rs, t_len, u_len)
     if simple_scale:
-        losses = losses + simple_scale * rnnt_loss_grid(
-            sp_b, sp_l, t_len, u_len)
+        losses = losses + simple_scale * simple_losses
     if reduction == "mean":
         return jnp.mean(losses)
     if reduction == "sum":
