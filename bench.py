@@ -687,30 +687,58 @@ def bench_banded_attention(t=2048, b=4, h=8, dh=64, n_apply=50):
         lambda q, k, v, re, u, rb: banded_attention(q, k, v, re, u, rb, 10, 2)))
 
 
+def _note(name):
+    """Per-bench progress marker (stderr): the full suite is ~an hour of
+    mostly remote compiles — a stalled run should be diagnosable."""
+    print(f"[bench] {name} @ {time.strftime('%H:%M:%S')}",
+          file=sys.stderr, flush=True)
+
+
 def main():
     backend = jax.default_backend()
+    _note("offline_rtf")
     rtf = bench_offline_rtf()
+    _note("train_step b4")
     step_ms = bench_train_step()
+    _note("train_step b32")
     step_ms32 = bench_train_step(batch=32)
+    _note("train_step espnet")
     esp_step_ms = bench_train_step_espnet()
+    _note("train_step flagship")
     flag_ms, flag_mfu = bench_train_step_flagship()
+    _note("train_step flagship pruned5")
     flag_pruned_ms, _ = bench_train_step_flagship(pruned_range=5)
+    _note("beam dense")
     beam_rtf = bench_beam_rtf()
+    _note("beam 15pct")
     beam_rtf_15 = bench_beam_rtf(emission_density=0.15)
+    _note("beam 15pct flagship")
     flag_beam_rtf_15 = bench_beam_rtf(emission_density=0.15, flagship=True)
+    _note("rnnt loss")
     loss_ms = bench_rnnt_loss()
+    _note("rnnt loss cpu")
     cpu_loss_ms = bench_rnnt_loss_cpu_ms()
+    _note("encode mfu")
     enc_mfu = bench_encode_mfu()
+    _note("streaming aishell")
     stream_rtf, stream_lat_ms = bench_streaming_rtf()
+    _note("streaming flagship")
     flag_rtf, flag_lat_ms = bench_streaming_rtf_flagship()
+    _note("streaming flagship incremental")
     flag_inc_rtf, flag_inc_lat_ms = bench_streaming_rtf_flagship(
         incremental=True)
+    _note("streaming flagship 15pct")
     flag_rtf_15, _ = bench_streaming_rtf_flagship(emission_density=0.15)
+    _note("streaming flagship 15pct incremental")
     flag_inc_rtf_15, _ = bench_streaming_rtf_flagship(
         incremental=True, emission_density=0.15)
+    _note("multistream aishell")
     multi_rtf = bench_multistream()
+    _note("multistream flagship")
     flag_multi_rtf = bench_multistream_flagship()
+    _note("multistream flagship incremental")
     flag_multi_inc_rtf = bench_multistream_flagship(incremental=True)
+    _note("banded attention")
     dense_ms, banded_ms = bench_banded_attention()
     # MFU: standard convention — required model FLOPs (3x analytic forward;
     # remat recompute not credited) over measured time vs bf16 chip peak

@@ -217,6 +217,48 @@ def test_trainer_with_pruned_loss(tmp_path):
     assert losses[1] < losses[0]
 
 
+def test_espnet_family_pruned_loss():
+    """The family-dispatching loss path (espnet param extraction, additive
+    joint, relu/tanh) works under loss_pruned_range and matches the full
+    loss in the unpruned limit."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_espnet_training import espnet_tiny_config
+    from data_helpers import make_corpus
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    from transformer_transducer_tpu.training.train_step import (
+        TrainStepConfig, make_loss_fn)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        vocab_path, csvs = make_corpus(root)
+        cfg = espnet_tiny_config(root, vocab_path, csvs)
+    model = build_espnet_transducer(cfg.model)
+    rng = np.random.RandomState(0)
+    b, t, u = 2, 18, 4
+    x = jnp.asarray(rng.randn(b, t, 16).astype(np.float32))
+    y = jnp.asarray(rng.randint(1, 11, (b, u)), dtype=jnp.int32)
+    batch = {"inputs": x, "targets": y,
+             "inputs_length": jnp.asarray([t, t - 3]),
+             "targets_length": jnp.asarray([u, u - 1])}
+    params = model.init(jax.random.PRNGKey(0), x[:1, :8],
+                        jnp.asarray([8]), y[:1], jnp.asarray([u]))["params"]
+    key = jax.random.PRNGKey(1)
+    full = make_loss_fn(model, TrainStepConfig(specaug=False))
+    # u+1 = 5 <= s_range covers the grid -> exact match
+    pruned_wide = make_loss_fn(model, TrainStepConfig(
+        specaug=False, loss_pruned_range=8, loss_simple_scale=0.0))
+    np.testing.assert_allclose(float(pruned_wide(params, batch, key)),
+                               float(full(params, batch, key)), rtol=1e-5)
+    pruned = make_loss_fn(model, TrainStepConfig(
+        specaug=False, loss_pruned_range=2))
+    g = jax.grad(lambda p: pruned(p, batch, key))(params)
+    norm = float(sum(jnp.sum(jnp.abs(x)) for x in
+                     jax.tree_util.tree_leaves(g)))
+    assert np.isfinite(norm) and norm > 0
+
+
 def test_banded_grids_match_full_joint_on_band():
     """banded_grid_logprobs must agree with the fused full-grid log-probs
     at the banded cells."""
