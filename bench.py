@@ -291,34 +291,24 @@ def _flagship_streaming_parts():
     return model, variables, cfg
 
 
-def _controlled_density_variables(model, variables, wav, cfg,
-                                  density=0.15):
-    """Zero the joint's dec-side weights and set the blank bias at the
-    (1-density)-quantile of the session's OWN feature distribution (the
-    same rig as ``bench_beam_rtf``): the greedy gate then fires on ~that
-    fraction of frames — the trained-model serving regime — with
-    identical compute shapes."""
-    import numpy as np
-    from transformer_transducer_tpu.models.transducer import Transducer
-    from transformer_transducer_tpu.ops import features_np as F
-    from transformer_transducer_tpu.ops.masks import context_mask
-
+def _pin_gate_density(model, variables, enc_rows, density):
+    """Zero the joint's dec-side weights (the greedy/beam gate becomes a
+    pure per-frame function — a constant bias cannot pin a random-weight
+    model's rate, measured swinging 0-100 % as the label state drifts)
+    and set the blank bias at the (1-density)-quantile of the gate margin
+    over ``enc_rows`` (N, D): the gate then fires on ~``density`` of
+    frames with identical compute shapes.  Shared by the beam and
+    streaming controlled-density benches."""
     joint = variables["params"]["joint"]
     w1 = joint["forward_layer"]["kernel"]
     d_enc = w1.shape[0] // 2
     joint["forward_layer"]["kernel"] = w1.at[d_enc:].set(0.0)
-    feats = F.subsample(F.stack_frames(
-        F.logmel_masked(wav[:16000 * 8], 16000, cfg.feature_dim),
-        cfg.stack_left, 0), cfg.subsample)
-    t = min(feats.shape[0], 256)
-    x = jnp.asarray(feats[None, :t])
-    mask = context_mask(t, cfg.left_context, cfg.right_context)
-    enc = model.apply(variables, x, mask, method=Transducer.encode)[0]
     dec0 = model.apply(variables, jnp.zeros((1, 1), jnp.int32), None,
                        method="predict")[:, 0]
-    logits = model.apply(variables, enc,
-                         jnp.broadcast_to(dec0, (t, dec0.shape[-1])),
-                         method="joint_logits")
+    logits = model.apply(
+        variables, enc_rows,
+        jnp.broadcast_to(dec0, (enc_rows.shape[0], dec0.shape[-1])),
+        method="joint_logits")
     diff = jnp.max(logits[:, 1:], axis=-1) - logits[:, 0]
     bias = float(jnp.quantile(diff.astype(jnp.float32), 1.0 - density))
     joint["project_layer"]["bias"] = \
@@ -326,8 +316,28 @@ def _controlled_density_variables(model, variables, wav, cfg,
     return variables
 
 
+def _controlled_density_variables(model, variables, wav, cfg,
+                                  density=0.15):
+    """Streaming variant of the density rig: calibrate the gate margin on
+    the session's OWN feature distribution (banded encode of the bench
+    audio's log-mel pipeline)."""
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.ops import features_np as F
+    from transformer_transducer_tpu.ops.masks import context_mask
+
+    feats = F.subsample(F.stack_frames(
+        F.logmel_masked(wav[:16000 * 8], 16000, cfg.feature_dim),
+        cfg.stack_left, 0), cfg.subsample)
+    t = min(feats.shape[0], 256)
+    x = jnp.asarray(feats[None, :t])
+    mask = context_mask(t, cfg.left_context, cfg.right_context)
+    enc = model.apply(variables, x, mask, method=Transducer.encode)[0]
+    return _pin_gate_density(model, variables, enc, density)
+
+
 def bench_streaming_rtf_flagship(seconds=30, incremental=False,
-                                 emission_density=None):
+                                 emission_density=None,
+                                 measure_cadence=True):
     """Warm streaming RTF + cadence at the FLAGSHIP config (18-layer
     encoder, 180/36-frame halos — ``audio/streamRec_unlimit_dynamic_window
     .py:56-62``); same two regimes as ``bench_streaming_rtf``.
@@ -359,6 +369,9 @@ def bench_streaming_rtf_flagship(seconds=30, incremental=False,
         session.accept_waveform(wav)
         session.finalize()
         dt = min(dt, time.perf_counter() - t0)
+    if not measure_cadence:   # throughput-only callers skip the per-window
+        return seconds / dt, float("nan")   # regime (its compiles + ~60
+    # per-relay-dispatch calls are minutes of dead work otherwise)
     # warm the per-window regime's own program sizes too (the 1-window/
     # 1-chunk buckets never compile during the stacked full-wave passes —
     # without this the first cadence window pays a multi-second compile)
@@ -491,22 +504,10 @@ def bench_beam_rtf(batch=8, t=410, width=5, emission_density=None,
     t_len = jnp.full((batch,), t)
 
     if emission_density is not None:
-        joint = variables["params"]["joint"]
-        w1 = joint["forward_layer"]["kernel"]
-        d_enc = w1.shape[0] // 2
-        joint["forward_layer"]["kernel"] = w1.at[d_enc:].set(0.0)
         enc = model.apply(variables, x, None, method=Transducer.encode)
-        dec0 = model.apply(variables, jnp.zeros((1, 1), jnp.int32), None,
-                           method="predict")[:, 0]
-        logits = model.apply(
-            variables, enc.reshape(batch * t, -1),
-            jnp.broadcast_to(dec0, (batch * t, dec0.shape[-1])),
-            method="joint_logits")
-        diff = jnp.max(logits[:, 1:], axis=-1) - logits[:, 0]
-        bias = float(jnp.quantile(diff.astype(jnp.float32),
-                                  1.0 - emission_density))
-        joint["project_layer"]["bias"] = \
-            joint["project_layer"]["bias"].at[0].add(bias)
+        variables = _pin_gate_density(model, variables,
+                                      enc.reshape(batch * t, -1),
+                                      emission_density)
 
     @jax.jit
     def run(variables, x, t_len):
@@ -728,10 +729,11 @@ def main():
     flag_inc_rtf, flag_inc_lat_ms = bench_streaming_rtf_flagship(
         incremental=True)
     _note("streaming flagship 15pct")
-    flag_rtf_15, _ = bench_streaming_rtf_flagship(emission_density=0.15)
+    flag_rtf_15, _ = bench_streaming_rtf_flagship(emission_density=0.15,
+                                                  measure_cadence=False)
     _note("streaming flagship 15pct incremental")
     flag_inc_rtf_15, _ = bench_streaming_rtf_flagship(
-        incremental=True, emission_density=0.15)
+        incremental=True, emission_density=0.15, measure_cadence=False)
     _note("multistream aishell")
     multi_rtf = bench_multistream()
     _note("multistream flagship")

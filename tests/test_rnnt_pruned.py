@@ -77,6 +77,51 @@ def test_unpruned_limit_matches_fused(activation):
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_infeasible_corridor_truncates_with_live_grads():
+    """u_len unreachable within the corridor (t_len*(s_range-1) too small)
+    must yield a finite truncated-NLL with nonzero gradients through the
+    real joint — not a silent zero-gradient no-op (the full path's
+    over-length policy, rnnt_loss.py:158-166)."""
+    enc, dec, jp, labels, t_len, u_len = _problem(seed=6, t=3, u=4)
+    t_len = jnp.asarray([3, 2, 2])
+    u_len = jnp.asarray([4, 4, 3])   # rows 2,3: 4 > (2-1)*(2-1)+1
+
+    def loss(args):
+        enc, jp = args
+        return rnnt_loss_pruned(enc, dec, jp, labels, t_len, u_len,
+                                s_range=2, chunk_size=4, simple_scale=0.0,
+                                reduction="none")
+
+    losses = loss((enc, jp))
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert np.all(np.asarray(losses) > 0)
+    g = jax.grad(lambda a: jnp.sum(loss(a)))((enc, jp))
+    norm = float(sum(jnp.sum(jnp.abs(x))
+                     for x in jax.tree_util.tree_leaves(g)))
+    assert np.isfinite(norm) and norm > 0
+
+
+@pytest.mark.skipif(__import__("os").environ.get("TTX_TEST_TPU") != "1",
+                    reason="on-chip lattice check (TTX_TEST_TPU=1)")
+def test_pruned_loss_compiled_on_tpu():
+    """End-to-end pruned loss compiled on the chip: unpruned limit equals
+    the fused loss, and the fwd+bwd are finite (exercises the Pallas
+    lattice reuse inside simple_loss_and_occ, the band DP lowering and
+    the logZ kernel together)."""
+    enc, dec, jp, labels, t_len, u_len = _problem(seed=7, t=24, u=4)
+    u1 = dec.shape[1]
+    full = jax.jit(lambda e: rnnt_loss_fused(
+        e, dec, jp, labels, t_len, u_len, chunk_size=8))
+    wide = jax.jit(lambda e: rnnt_loss_pruned(
+        e, dec, jp, labels, t_len, u_len, s_range=u1, chunk_size=8))
+    np.testing.assert_allclose(float(wide(enc)), float(full(enc)),
+                               rtol=2e-4)
+    g = jax.jit(jax.grad(lambda e: rnnt_loss_pruned(
+        e, dec, jp, labels, t_len, u_len, s_range=3, chunk_size=8,
+        simple_scale=0.25)))(enc)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_pruned_upper_bounds_full():
     """Narrow bands drop paths: pruned per-seq NLL >= full NLL."""
     enc, dec, jp, labels, t_len, u_len = _problem(seed=2)

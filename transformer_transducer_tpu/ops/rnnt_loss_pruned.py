@@ -259,11 +259,15 @@ def rnnt_loss_banded_grid(lp_b: jax.Array, lp_l: jax.Array, rs: jax.Array,
 
     bi = jnp.arange(b)
     tf = jnp.maximum(t_len - 1, 0)
-    sf = u_len - rs[bi, tf]
-    in_band = (sf >= 0) & (sf < s_range)
-    sf_c = jnp.clip(sf, 0, s_range - 1)
-    log_z = alphas[bi, tf, sf_c] + lp_b[bi, tf, sf_c]
-    valid = (t_len > 0) & in_band
+    # sf >= 0 always (rs <= u_hi <= u_len); sf > s_range-1 only when the
+    # corridor cannot climb to u_len at all (u_len > (t_len-1)*(s_range-1)
+    # + s_range - 1).  Clamp to the highest reachable label count — the
+    # truncated-sequence NLL with LIVE gradients, mirroring the full
+    # path's over-length policy (rnnt_loss.py:158-166) — instead of a
+    # silent zero-gradient no-op for the row.
+    sf = jnp.clip(u_len - rs[bi, tf], 0, s_range - 1)
+    log_z = alphas[bi, tf, sf] + lp_b[bi, tf, sf]
+    valid = t_len > 0
     return jnp.where(valid, -log_z, 0.0)
 
 
