@@ -304,6 +304,39 @@ def test_espnet_family_pruned_loss():
     assert np.isfinite(norm) and norm > 0
 
 
+def test_pruned_tp_loss_matches_replicated():
+    """2-way tensor-parallel pruned loss == replicated (GSPMD numerics):
+    the simple-joint matmuls, logZ sweep, gathers and band DP must all
+    lower correctly with the joint kernels sharded on the model axis."""
+    from transformer_transducer_tpu.models.transducer import Transducer
+    from transformer_transducer_tpu.ops.rnnt_loss import (
+        joint_params_from_variables)
+    from transformer_transducer_tpu.parallel import mesh as mesh_lib
+    from transformer_transducer_tpu.parallel import sharding as sharding_lib
+
+    model = Transducer(vocab_size=12, enc=(1, 24, 2, 16, 8, 32),
+                       dec=(1, 9, 2, 16, 8, 32), joint_inner=16)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(4, 12, 16).astype(np.float32))
+    y = jnp.asarray(rng.randint(1, 11, (4, 4)), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x[:1, :8], y[:1])["params"]
+    t_len = jnp.asarray([12, 10, 12, 9])
+    u_len = jnp.asarray([4, 3, 4, 2])
+
+    def loss(p):
+        enc, dec = model.apply({"params": p}, x, y, method="encode_both")
+        jp = joint_params_from_variables({"params": p})
+        return rnnt_loss_pruned(enc, dec, jp, y, t_len, u_len,
+                                s_range=3, chunk_size=4, simple_scale=0.25)
+
+    ref = float(jax.jit(loss)(params))
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    with mesh:
+        sharded = sharding_lib.shard_params(params, mesh)
+        got = float(jax.jit(loss)(sharded))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
 def test_banded_grids_match_full_joint_on_band():
     """banded_grid_logprobs must agree with the fused full-grid log-probs
     at the banded cells."""
