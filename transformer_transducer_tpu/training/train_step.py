@@ -205,6 +205,11 @@ def make_eval_loss_step(model: Transducer,
     ``train.py:94-126``).  Per-utterance (not mean) so callers can mask out
     the padding rows partial final batches are padded with."""
     cfg = cfg or TrainStepConfig()
+    if cfg.loss_pruned_range:
+        # evaluation reports the EXACT NLL even when training is pruned:
+        # the pruned loss upper-bounds it by a band-dependent margin, which
+        # would make dev losses incomparable across s_range settings
+        cfg = dataclasses.replace(cfg, loss_pruned_range=None)
     loss_fn = make_loss_fn(model, cfg, reduction="none")
 
     def eval_step(params, batch):
