@@ -110,6 +110,9 @@ def main():
     ap.add_argument("--incremental", action="store_true",
                     help="cached-encoder session (native family): O(new "
                          "frames) work per step instead of halo re-encode")
+    ap.add_argument("--timestamps", action="store_true",
+                    help="print each token's emission time in seconds "
+                         "(beyond-reference serving metadata)")
     ap.add_argument("--gui", action="store_true",
                     help="Tk window (requires a display)")
     ap.add_argument("--set", action="append", default=[], dest="overrides",
@@ -137,6 +140,12 @@ def main():
         sys.exit("need --wav or --mic")
     print("final:", "".join(vocab.decode(result)))
     print("segments:", [len(s) for s in session.segments])
+    if args.timestamps:
+        # subsampled-frame period = subsample x 10 ms mel hop
+        period = session.cfg.subsample * 0.01
+        for tok, frame in zip(result, session.timestamps):
+            word = vocab.index2word.get(tok, "?")
+            print(f"  {frame * period:7.2f}s  {word}")
 
 
 if __name__ == "__main__":

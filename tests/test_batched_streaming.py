@@ -34,13 +34,14 @@ def test_batched_matches_solo_sessions():
     model, variables = _model()
     wavs = [_wav(s, 12000 + 1500 * s) for s in range(3)]
 
-    solo_results = []
+    solo_results, solo_stamps = [], []
     for wav in wavs:
         s = StreamingSession(model, variables, _cfg())
         for i in range(0, len(wav), 2500):
             s.accept_waveform(wav[i:i + 2500])
         s.finalize()
         solo_results.append(s.result)
+        solo_stamps.append(s.timestamps)
 
     batched = BatchedStreamingSession(model, variables, _cfg(), n_streams=3)
     for i, wav in enumerate(wavs):
@@ -48,6 +49,8 @@ def test_batched_matches_solo_sessions():
         batched.finalize(i)
     results = batched.run_to_completion()
     assert results == solo_results, f"{results} != {solo_results}"
+    # per-token frame timestamps also match the solo sessions
+    assert [st.timestamps for st in batched.streams] == solo_stamps
 
 
 def test_batched_incremental_feeding():

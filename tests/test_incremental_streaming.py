@@ -144,13 +144,15 @@ def test_batched_incremental_matches_canonical():
         for i, wav in enumerate(wavs):
             b.accept_waveform(i, wav)
             b.finalize(i)
-        return b.run_to_completion(), [st.segments for st in b.streams]
+        return (b.run_to_completion(), [st.segments for st in b.streams],
+                [st.timestamps for st in b.streams])
 
-    ref, ref_seg = run(False)
-    got, got_seg = run(True)
+    ref, ref_seg, ref_ts = run(False)
+    got, got_seg, got_ts = run(True)
     assert any(ref), "degenerate test: no stream emitted anything"
     assert got == ref
     assert got_seg == ref_seg
+    assert got_ts == ref_ts
 
 
 def test_batched_incremental_process_equals_drain():

@@ -136,6 +136,43 @@ def test_sentence_split_on_blank_run():
     assert sum(session.segments, []) == session.result
 
 
+def test_token_timestamps_are_frame_aligned():
+    """Every emitted token carries the absolute subsampled-frame index it
+    was decoded at (beyond-reference serving metadata): one per token,
+    strictly increasing (the greedy programs emit at most one token per
+    frame, session.py::_make_frame_decoder), inside the consumed frame
+    range, and identical between the window and incremental paths."""
+    model, variables = _model(n_layer=2, seed=11)
+
+    def mkcfg():
+        return StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                               feature_dim=4, stack_left=3,
+                               win_audio=4800 + 480, audio_step=4800,
+                               blank_split=4)
+
+    rng = np.random.RandomState(9)
+    wav = (rng.randn(30000) * 3000).astype(np.int16)
+
+    def run(incremental):
+        s = StreamingSession(model, variables, mkcfg(),
+                             incremental=incremental)
+        for i in range(0, len(wav), 4000):
+            s.accept_waveform(wav[i:i + 4000])
+        s.finalize()
+        return s
+
+    ref = run(False)
+    assert ref.result, "degenerate test: nothing emitted"
+    assert len(ref.timestamps) == len(ref.result)
+    assert all(b > a for a, b in zip(ref.timestamps, ref.timestamps[1:]))
+    total = ref._sub_base + ref.subsampled.shape[0]
+    assert 0 <= ref.timestamps[0] and ref.timestamps[-1] < total
+
+    inc = run(True)
+    assert inc.result == ref.result
+    assert inc.timestamps == ref.timestamps
+
+
 def test_trapezoid_session_runs_and_covers_all_frames():
     from transformer_transducer_tpu.streaming.session import (
         TrapezoidStreamingSession)
@@ -152,6 +189,9 @@ def test_trapezoid_session_runs_and_covers_all_frames():
         out += session.accept_waveform(wav[i:i + 2500])
     out += session.finalize()
     assert out == session.result
+    assert len(session.timestamps) == len(session.result)
+    assert all(b > a for a, b in
+               zip(session.timestamps, session.timestamps[1:]))
     # steady-state window must have reached max_win (growth finished)
     assert session.win_len == session.max_win
     # every subsampled frame was consumed exactly once (positions are

@@ -43,6 +43,9 @@ class _StreamState:
         self.win_audio_position = 0
         self.win_feature_position = 0
         self.result: List[int] = []
+        # absolute subsampled-frame index each token was decoded at
+        # (session.StreamingSession.timestamps semantics, per stream)
+        self.timestamps: List[int] = []
         self.segments: List[List[int]] = [[]]
         self.finished = False
         # incremental-mode bookkeeping (see session._process_incremental)
@@ -331,13 +334,14 @@ class BatchedStreamingSession:
         """Host-side geometry of the next serving round (pure shape
         arithmetic — independent of decode outputs, so rounds can be
         precomputed and stacked).  Advances per-stream feature positions;
-        returns ``(windows, left_frames, n_effs)`` or None when no stream
-        has a ready window."""
+        returns ``(windows, left_frames, n_effs, abs_starts)`` or None when
+        no stream has a ready window."""
         cfg = self.cfg
         n = self.n
         windows = np.zeros((n, cfg.window_len, self._d), np.float32)
         left_frames = np.zeros((n,), np.int32)
         n_effs = np.zeros((n,), np.int32)
+        abs_starts = np.zeros((n,), np.int32)
         for i, st in enumerate(self.streams):
             self._advance_features(st)
             total = st.sub_base + st.subsampled.shape[0]
@@ -355,6 +359,7 @@ class BatchedStreamingSession:
             windows[i, :window.shape[0]] = window
             left_frames[i] = left_frame
             n_effs[i] = n_eff
+            abs_starts[i] = st.win_feature_position
             st.win_feature_position += n_eff
             # trim feature frames older than the next window's left halo
             drop = (st.win_feature_position - cfg.left_len) - st.sub_base
@@ -363,7 +368,7 @@ class BatchedStreamingSession:
                 st.sub_base += drop
         if not n_effs.any():
             return None
-        return windows, left_frames, n_effs
+        return windows, left_frames, n_effs, abs_starts
 
     def _advance_stream_shadow(self, st: _StreamState, total: int) -> None:
         """Per-stream mirror of the canonical window geometry (see
@@ -389,6 +394,7 @@ class BatchedStreamingSession:
         kls = np.full((self.n,), int(_BIG), np.int32)
         vss = np.zeros((self.n,), np.int32)
         nvs = np.zeros((self.n,), np.int32)
+        abs_starts = np.zeros((self.n,), np.int32)
         for i, st in enumerate(self.streams):
             self._advance_features(st)
             total = st.sub_base + st.subsampled.shape[0]
@@ -414,6 +420,7 @@ class BatchedStreamingSession:
             out_start = st.fed - lag
             vss[i] = max(0, -out_start)
             nvs[i] = max(0, min(n_new - vss[i], total - (out_start + vss[i])))
+            abs_starts[i] = out_start + vss[i]
             st.fed += n_new
             st.pending_flush -= n_zero
             # fed content rows are never re-read
@@ -423,11 +430,14 @@ class BatchedStreamingSession:
                 st.sub_base += drop
         if not n_news.any():
             return None
-        return x_new, n_news, kls, vss, nvs
+        return x_new, n_news, kls, vss, nvs, abs_starts
 
     def _emit_round(self, toks: np.ndarray, splits: np.ndarray,
-                    n_effs: np.ndarray) -> List[List[int]]:
-        """toks/splits (L, N) from one round -> new tokens per stream."""
+                    n_effs: np.ndarray,
+                    abs_starts: np.ndarray) -> List[List[int]]:
+        """toks/splits (L, N) from one round -> new tokens per stream.
+        ``abs_starts[i]`` is the absolute subsampled-frame index of stream
+        i's first effective slot this round (token timestamps)."""
         out: List[List[int]] = [[] for _ in range(self.n)]
         for i, st in enumerate(self.streams):
             for t in range(int(n_effs[i])):
@@ -437,6 +447,7 @@ class BatchedStreamingSession:
                 if splits[t, i] and st.segments[-1]:
                     st.segments.append([])
                 st.result.append(tok)
+                st.timestamps.append(int(abs_starts[i]) + t)
                 st.segments[-1].append(tok)
                 out[i].append(tok)
         return out
@@ -448,7 +459,7 @@ class BatchedStreamingSession:
             ready = self._gather_chunk_round()
             if ready is None:
                 return [[] for _ in range(self.n)]
-            x_new, n_news, kls, vss, nvs = ready
+            x_new, n_news, kls, vss, nvs, abs_starts = ready
             (self._cache, self._buf, self._count, self._dec_state,
              self._blank_run, self._emitted_any, toks, splits) = self._decode(
                 self.variables, self._enc_stack, self._cache,
@@ -456,17 +467,18 @@ class BatchedStreamingSession:
                 jnp.asarray(vss), jnp.asarray(nvs), self._buf, self._count,
                 self._ensure_dec(), self._blank_run, self._emitted_any)
             return self._emit_round(np.asarray(toks), np.asarray(splits),
-                                    nvs)
+                                    nvs, abs_starts)
         ready = self._gather_round()
         if ready is None:
             return [[] for _ in range(self.n)]
-        windows, left_frames, n_effs = ready
+        windows, left_frames, n_effs, abs_starts = ready
         (self._buf, self._count, self._dec_state, self._blank_run,
          self._emitted_any, toks, splits) = self._decode(
             self.variables, jnp.asarray(windows), jnp.asarray(left_frames),
             jnp.asarray(n_effs), self._buf, self._count, self._ensure_dec(),
             self._blank_run, self._emitted_any)
-        return self._emit_round(np.asarray(toks), np.asarray(splits), n_effs)
+        return self._emit_round(np.asarray(toks), np.asarray(splits), n_effs,
+                                abs_starts)
 
     def _ensure_dec(self):
         if self._dec_state is None:
@@ -508,7 +520,7 @@ class BatchedStreamingSession:
                 kls = np.full((r, self.n), int(_BIG), np.int32)
                 vss = np.zeros((r, self.n), np.int32)
                 nvs = np.zeros((r, self.n), np.int32)
-                for j, (x, nn, kl, vs, nv) in enumerate(group):
+                for j, (x, nn, kl, vs, nv, _) in enumerate(group):
                     x_new[j], n_news[j], kls[j], vss[j], nvs[j] = \
                         x, nn, kl, vs, nv
                 (self._cache, self._buf, self._count, self._dec_state,
@@ -519,12 +531,12 @@ class BatchedStreamingSession:
                         jnp.asarray(kls), jnp.asarray(vss), jnp.asarray(nvs),
                         self._buf, self._count, self._ensure_dec(),
                         self._blank_run, self._emitted_any)
-                gates = [g[4] for g in group]
+                gates = [(g[4], g[5]) for g in group]
             else:
                 windows = np.zeros((r,) + group[0][0].shape, np.float32)
                 left_frames = np.zeros((r, self.n), np.int32)
                 n_effs = np.zeros((r, self.n), np.int32)  # pad rounds: no-op
-                for j, (w, lf, ne) in enumerate(group):
+                for j, (w, lf, ne, _) in enumerate(group):
                     windows[j], left_frames[j], n_effs[j] = w, lf, ne
                 (self._buf, self._count, self._dec_state, self._blank_run,
                  self._emitted_any, toks, splits) = self._decode_rounds(
@@ -532,11 +544,11 @@ class BatchedStreamingSession:
                     jnp.asarray(left_frames), jnp.asarray(n_effs), self._buf,
                     self._count, self._ensure_dec(), self._blank_run,
                     self._emitted_any)
-                gates = [g[2] for g in group]
+                gates = [(g[2], g[3]) for g in group]
             toks = np.asarray(toks)      # (R, L, N) — one host transfer
             splits = np.asarray(splits)
             for j in range(len(group)):
-                self._emit_round(toks[j], splits[j], gates[j])
+                self._emit_round(toks[j], splits[j], *gates[j])
             if len(group) < max_bucket:
                 break
         return [st.result for st in self.streams]

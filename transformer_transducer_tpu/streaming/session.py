@@ -208,6 +208,10 @@ class StreamingSession:
         self.win_audio_position = 0
         self.win_feature_position = 0
         self.result: List[int] = []
+        # per emitted token, the absolute subsampled-frame index it was
+        # decoded at (frame period = subsample x 10 ms = 30 ms at the
+        # shipped configs) — beyond-reference serving metadata
+        self.timestamps: List[int] = []
         self.segments: List[List[int]] = [[]]
         self._finished = False
         # device-side decode state: label ring buffer (blank seed + last <=40
@@ -550,7 +554,8 @@ class StreamingSession:
             n_eff = window.shape[0] - left_frame - right_frame
             if n_eff <= 0:
                 break
-            ready.append((window, left_frame, n_eff))
+            ready.append((window, left_frame, n_eff,
+                          self.win_feature_position))
             self.win_feature_position += n_eff
             if len(ready) == max_bucket:
                 emitted += self._decode_windows(ready)
@@ -564,13 +569,15 @@ class StreamingSession:
         return emitted
 
     def _decode_window(self, window: np.ndarray, left_frame: int,
-                       n_eff: int) -> List[int]:
-        return self._decode_windows([(window, left_frame, n_eff)])
+                       n_eff: int, abs_start: int) -> List[int]:
+        return self._decode_windows([(window, left_frame, n_eff,
+                                      abs_start)])
 
     def _decode_windows(self, ready) -> List[int]:
-        """Decode a list of ``(window, left_frame, n_eff)`` tuples in
-        ceil(len/16) device calls: each group is padded up to the next
-        window-count bucket and run through the stacked-scan program."""
+        """Decode a list of ``(window, left_frame, n_eff, abs_start)``
+        tuples in ceil(len/16) device calls: each group is padded up to the
+        next window-count bucket and run through the stacked-scan
+        program."""
         cfg = self.cfg
         if not ready:
             return []
@@ -586,7 +593,7 @@ class StreamingSession:
             windows = np.zeros((k, length, self._d), np.float32)
             left_frames = np.zeros((k,), np.int32)
             n_effs = np.zeros((k,), np.int32)  # padded rows: n_eff=0 no-ops
-            for j, (window, left_frame, n_eff) in enumerate(group):
+            for j, (window, left_frame, n_eff, _) in enumerate(group):
                 assert window.shape[0] <= length
                 windows[j, :window.shape[0]] = window
                 left_frames[j] = left_frame
@@ -598,8 +605,9 @@ class StreamingSession:
                 self._count, self._dec_state, self._blank_run,
                 self._emitted_any)
             out = np.asarray(out)  # ONE host transfer per device call
-            for j, (_, _, n_eff) in enumerate(group):
-                emitted += self._emit(out[0, j, :n_eff], out[1, j, :n_eff])
+            for j, (_, _, n_eff, abs_start) in enumerate(group):
+                emitted += self._emit(out[0, j, :n_eff], out[1, j, :n_eff],
+                                      abs_start)
         return emitted
 
     # ----- incremental (cached-encoder) feed path ---------------------
@@ -650,7 +658,8 @@ class StreamingSession:
             valid_start = max(0, -out_start)
             n_valid = max(0, min(n_new - valid_start,
                                  total - (out_start + valid_start)))
-            steps.append((rows, n_new, key_limit, valid_start, n_valid))
+            steps.append((rows, n_new, key_limit, valid_start, n_valid,
+                          out_start + valid_start))
             p += n_new
         self._fed += n_pend
         emitted: List[int] = []
@@ -666,7 +675,7 @@ class StreamingSession:
             kls = np.full((k,), int(_BIG), np.int32)
             vss = np.zeros((k,), np.int32)
             nvs = np.zeros((k,), np.int32)  # padded steps: no-ops
-            for j, (rows, n_new, kl, vs, nv) in enumerate(group):
+            for j, (rows, n_new, kl, vs, nv, _) in enumerate(group):
                 xs[j], n_news[j], kls[j], vss[j], nvs[j] = \
                     rows, n_new, kl, vs, nv
             (self._cache, self._buf, self._count, self._dec_state,
@@ -676,8 +685,9 @@ class StreamingSession:
                 jnp.asarray(vss), jnp.asarray(nvs), self._buf, self._count,
                 self._dec_state, self._blank_run, self._emitted_any)
             out = np.asarray(out)  # ONE host transfer per device call
-            for j, (_, _, _, _, nv) in enumerate(group):
-                emitted += self._emit(out[0, j, :nv], out[1, j, :nv])
+            for j, (_, _, _, _, nv, abs_start) in enumerate(group):
+                emitted += self._emit(out[0, j, :nv], out[1, j, :nv],
+                                      abs_start)
         # fed rows are never re-read from the host buffer
         drop = min(self._fed, total) - self._sub_base
         if drop > 0:
@@ -685,14 +695,16 @@ class StreamingSession:
             self._sub_base += drop
         return emitted
 
-    def _emit(self, toks: np.ndarray, splits: np.ndarray) -> List[int]:
+    def _emit(self, toks: np.ndarray, splits: np.ndarray,
+              abs_start: int = 0) -> List[int]:
         emitted = []
-        for tok, split in zip(toks, splits):
+        for idx, (tok, split) in enumerate(zip(toks, splits)):
             if tok == 0:
                 continue
             if split and self.segments[-1]:
                 self.segments.append([])
             self.result.append(int(tok))
+            self.timestamps.append(abs_start + idx)
             self.segments[-1].append(int(tok))
             emitted.append(int(tok))
             if self.on_token is not None:
@@ -771,8 +783,9 @@ class TrapezoidStreamingSession(StreamingSession):
                 rel = self.win_feature_position - self._sub_base
                 window = self.subsampled[rel:rel + self.win_len]
                 eff_start = self.win_len - self.min_win
-                emitted += self._decode_window(window, eff_start,
-                                               self.pred_frame)
+                emitted += self._decode_window(
+                    window, eff_start, self.pred_frame,
+                    self.win_feature_position + eff_start)
                 if self.win_len < self.max_win:
                     self.win_len += self.pred_frame
                 else:
@@ -789,7 +802,8 @@ class TrapezoidStreamingSession(StreamingSession):
                 n_eff = window.shape[0] - eff_start
                 if n_eff <= 0:
                     break
-                emitted += self._decode_window(window, eff_start, n_eff)
+                emitted += self._decode_window(window, eff_start, n_eff,
+                                               consumed)
                 self.win_feature_position = total
             else:
                 break
