@@ -14,12 +14,14 @@ same audio (property-tested in ``tests/test_batched_streaming.py``).
 """
 
 import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -36,6 +38,10 @@ def main():
                          "frames) encoder work + short greedy scans")
     ap.add_argument("--rtf", action="store_true",
                     help="report aggregate x-realtime")
+    ap.add_argument("--json", action="store_true",
+                    help="emit one JSON line per file: text, tokens, "
+                         "per-token emission times (s) and softmax "
+                         "confidences, sentence segments")
     ap.add_argument("--set", action="append", default=[], dest="overrides",
                     metavar="KEY=VALUE", help="config override (dotted key)")
     args = ap.parse_args()
@@ -83,12 +89,26 @@ def main():
         for slot in range(len(group), n_streams):
             session.finalize(slot)   # empty slots ride along as no-ops
         tokens = session.run_to_completion()
+        period = scfg.subsample * 0.01   # subsampled-frame period, seconds
         for slot, path in enumerate(group):
-            results[path] = "".join(vocab.decode(tokens[slot]))
+            st = session.streams[slot]
+            results[path] = {
+                "text": "".join(vocab.decode(tokens[slot])),
+                "tokens": tokens[slot],
+                "times_s": [round(f * period, 3) for f in st.timestamps],
+                "confidences": [round(float(np.exp(c)), 4)
+                                for c in st.confidences],
+                "segments": ["".join(vocab.decode(seg))
+                             for seg in st.segments if seg],
+            }
     wall = time.perf_counter() - t0
 
     for path in args.wavs:
-        print(f"{path}\t{results[path]}")
+        if args.json:
+            print(json.dumps({"file": path, **results[path]},
+                             ensure_ascii=False))
+        else:
+            print(f"{path}\t{results[path]['text']}")
     if args.rtf:
         print(f"# aggregate: {total_audio_s:.1f}s audio in {wall:.2f}s "
               f"= {total_audio_s / wall:.1f}x realtime "

@@ -111,8 +111,9 @@ def main():
                     help="cached-encoder session (native family): O(new "
                          "frames) work per step instead of halo re-encode")
     ap.add_argument("--timestamps", action="store_true",
-                    help="print each token's emission time in seconds "
-                         "(beyond-reference serving metadata)")
+                    help="print each token's emission time in seconds and "
+                         "its softmax confidence (beyond-reference serving "
+                         "metadata)")
     ap.add_argument("--gui", action="store_true",
                     help="Tk window (requires a display)")
     ap.add_argument("--set", action="append", default=[], dest="overrides",
@@ -143,9 +144,10 @@ def main():
     if args.timestamps:
         # subsampled-frame period = subsample x 10 ms mel hop
         period = session.cfg.subsample * 0.01
-        for tok, frame in zip(result, session.timestamps):
+        for tok, frame, conf in zip(result, session.timestamps,
+                                    session.confidences):
             word = vocab.index2word.get(tok, "?")
-            print(f"  {frame * period:7.2f}s  {word}")
+            print(f"  {frame * period:7.2f}s  p={np.exp(conf):.3f}  {word}")
 
 
 if __name__ == "__main__":

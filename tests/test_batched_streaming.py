@@ -51,6 +51,10 @@ def test_batched_matches_solo_sessions():
     assert results == solo_results, f"{results} != {solo_results}"
     # per-token frame timestamps also match the solo sessions
     assert [st.timestamps for st in batched.streams] == solo_stamps
+    # confidences are valid log-probs, one per token
+    for st in batched.streams:
+        assert len(st.confidences) == len(st.result)
+        assert all(c <= 0.0 for c in st.confidences)
 
 
 def test_batched_incremental_feeding():

@@ -167,10 +167,17 @@ def test_token_timestamps_are_frame_aligned():
     assert all(b > a for a, b in zip(ref.timestamps, ref.timestamps[1:]))
     total = ref._sub_base + ref.subsampled.shape[0]
     assert 0 <= ref.timestamps[0] and ref.timestamps[-1] < total
+    # per-token confidences: one per token, valid log-probs
+    assert len(ref.confidences) == len(ref.result)
+    assert all(c <= 0.0 for c in ref.confidences)
 
     inc = run(True)
     assert inc.result == ref.result
     assert inc.timestamps == ref.timestamps
+    # same tokens at the same frames -> same joint rows up to the
+    # incremental encoder's f32 reassociation
+    np.testing.assert_allclose(inc.confidences, ref.confidences,
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_trapezoid_session_runs_and_covers_all_frames():

@@ -43,9 +43,11 @@ class _StreamState:
         self.win_audio_position = 0
         self.win_feature_position = 0
         self.result: List[int] = []
-        # absolute subsampled-frame index each token was decoded at
-        # (session.StreamingSession.timestamps semantics, per stream)
+        # absolute subsampled-frame index each token was decoded at, and
+        # its log-softmax probability at the emitting frame
+        # (session.StreamingSession.{timestamps,confidences}, per stream)
         self.timestamps: List[int] = []
+        self.confidences: List[float] = []
         self.segments: List[List[int]] = [[]]
         self.finished = False
         # incremental-mode bookkeeping (see session._process_incremental)
@@ -137,6 +139,11 @@ class BatchedStreamingSession:
                 logits = self.model.apply(variables, enc_t, dec_state,
                                           method="joint_logits")   # (N, V)
                 pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # log-softmax prob of the winning token (confidences)
+                lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+                conf = (jnp.take_along_axis(
+                    logits.astype(jnp.float32), pred[:, None],
+                    axis=-1)[:, 0] - lse)
                 valid = (t < n_effs) & (pred != 0)
                 split = valid & (blank_run >= cfg.blank_split) & (emitted_any > 0)
 
@@ -159,7 +166,9 @@ class BatchedStreamingSession:
                 new_blank = jnp.where(valid, 0,
                                       blank_run + ((t < n_effs) & (pred == 0) & had))
                 return ((new_buf, new_count, dec_state, new_blank,
-                         emitted_any + valid), (jnp.where(valid, pred, 0), split))
+                         emitted_any + valid),
+                        (jnp.where(valid, pred, 0), split,
+                         jnp.where(valid, conf, 0.0)))
 
             return jax.lax.scan(step, state, jnp.arange(length))
 
@@ -197,23 +206,29 @@ class BatchedStreamingSession:
         @jax.jit
         def batched_decode(variables, windows, left_frames, n_effs, buf,
                            count, dec_state, blank_run, emitted_any):
-            """One round (the incremental ``process()`` path)."""
-            state, (toks, splits) = round_body(
+            """One round (the incremental ``process()`` path).  Outputs pack
+            as one float32 array (single host transfer): ``out[0]=tokens``,
+            ``out[1]=splits``, ``out[2]=log-prob confidences``."""
+            state, (toks, splits, confs) = round_body(
                 variables, (buf, count, dec_state, blank_run, emitted_any),
                 (windows, left_frames, n_effs))
-            return (*state, toks, splits)
+            out = jnp.stack([toks.astype(jnp.float32),
+                             splits.astype(jnp.float32), confs])
+            return (*state, out)
 
         @jax.jit
         def batched_decode_rounds(variables, windows, left_frames, n_effs,
                                   buf, count, dec_state, blank_run,
                                   emitted_any):
             """R stacked rounds in ONE device program (the drain path):
-            ``windows (R, N, L, D)``; outputs ``toks/splits (R, L, N)``."""
-            state, (toks, splits) = jax.lax.scan(
+            ``windows (R, N, L, D)``; outputs ``out (3, R, L, N)``."""
+            state, (toks, splits, confs) = jax.lax.scan(
                 lambda st, xs: round_body(variables, st, xs),
                 (buf, count, dec_state, blank_run, emitted_any),
                 (windows, left_frames, n_effs))
-            return (*state, toks, splits)
+            out = jnp.stack([toks.astype(jnp.float32),
+                             splits.astype(jnp.float32), confs])
+            return (*state, out)
 
         self._decode_rounds = batched_decode_rounds
         return batched_decode
@@ -261,23 +276,27 @@ class BatchedStreamingSession:
         def chunk_decode(variables, enc_stack, cache, x_new, n_news, kls,
                          vss, nvs, buf, count, dec_state, blank_run,
                          emitted_any):
-            (cache, state), (toks, splits) = round_body(
+            (cache, state), (toks, splits, confs) = round_body(
                 variables, enc_stack,
                 (cache, (buf, count, dec_state, blank_run, emitted_any)),
                 (x_new, n_news, kls, vss, nvs))
-            return (cache, *state, toks, splits)
+            out = jnp.stack([toks.astype(jnp.float32),
+                             splits.astype(jnp.float32), confs])
+            return (cache, *state, out)
 
         @jax.jit
         def chunk_decode_rounds(variables, enc_stack, cache, x_new, n_news,
                                 kls, vss, nvs, buf, count, dec_state,
                                 blank_run, emitted_any):
             """R stacked rounds in ONE device program (the drain path):
-            ``x_new (R, N, C, D)``; outputs ``toks/splits (R, C, N)``."""
-            (cache, state), (toks, splits) = jax.lax.scan(
+            ``x_new (R, N, C, D)``; outputs ``out (3, R, C, N)``."""
+            (cache, state), (toks, splits, confs) = jax.lax.scan(
                 lambda c, xs: round_body(variables, enc_stack, c, xs),
                 (cache, (buf, count, dec_state, blank_run, emitted_any)),
                 (x_new, n_news, kls, vss, nvs))
-            return (cache, *state, toks, splits)
+            out = jnp.stack([toks.astype(jnp.float32),
+                             splits.astype(jnp.float32), confs])
+            return (cache, *state, out)
 
         self._decode_rounds = chunk_decode_rounds
         return chunk_decode
@@ -432,12 +451,13 @@ class BatchedStreamingSession:
             return None
         return x_new, n_news, kls, vss, nvs, abs_starts
 
-    def _emit_round(self, toks: np.ndarray, splits: np.ndarray,
-                    n_effs: np.ndarray,
+    def _emit_round(self, round_out: np.ndarray, n_effs: np.ndarray,
                     abs_starts: np.ndarray) -> List[List[int]]:
-        """toks/splits (L, N) from one round -> new tokens per stream.
-        ``abs_starts[i]`` is the absolute subsampled-frame index of stream
-        i's first effective slot this round (token timestamps)."""
+        """``round_out (3, L, N)`` = packed tokens/splits/confidences from
+        one round -> new tokens per stream.  ``abs_starts[i]`` is the
+        absolute subsampled-frame index of stream i's first effective slot
+        this round (token timestamps)."""
+        toks, splits, confs = round_out
         out: List[List[int]] = [[] for _ in range(self.n)]
         for i, st in enumerate(self.streams):
             for t in range(int(n_effs[i])):
@@ -448,6 +468,7 @@ class BatchedStreamingSession:
                     st.segments.append([])
                 st.result.append(tok)
                 st.timestamps.append(int(abs_starts[i]) + t)
+                st.confidences.append(float(confs[t, i]))
                 st.segments[-1].append(tok)
                 out[i].append(tok)
         return out
@@ -461,24 +482,22 @@ class BatchedStreamingSession:
                 return [[] for _ in range(self.n)]
             x_new, n_news, kls, vss, nvs, abs_starts = ready
             (self._cache, self._buf, self._count, self._dec_state,
-             self._blank_run, self._emitted_any, toks, splits) = self._decode(
+             self._blank_run, self._emitted_any, out) = self._decode(
                 self.variables, self._enc_stack, self._cache,
                 jnp.asarray(x_new), jnp.asarray(n_news), jnp.asarray(kls),
                 jnp.asarray(vss), jnp.asarray(nvs), self._buf, self._count,
                 self._ensure_dec(), self._blank_run, self._emitted_any)
-            return self._emit_round(np.asarray(toks), np.asarray(splits),
-                                    nvs, abs_starts)
+            return self._emit_round(np.asarray(out), nvs, abs_starts)
         ready = self._gather_round()
         if ready is None:
             return [[] for _ in range(self.n)]
         windows, left_frames, n_effs, abs_starts = ready
         (self._buf, self._count, self._dec_state, self._blank_run,
-         self._emitted_any, toks, splits) = self._decode(
+         self._emitted_any, out) = self._decode(
             self.variables, jnp.asarray(windows), jnp.asarray(left_frames),
             jnp.asarray(n_effs), self._buf, self._count, self._ensure_dec(),
             self._blank_run, self._emitted_any)
-        return self._emit_round(np.asarray(toks), np.asarray(splits), n_effs,
-                                abs_starts)
+        return self._emit_round(np.asarray(out), n_effs, abs_starts)
 
     def _ensure_dec(self):
         if self._dec_state is None:
@@ -524,7 +543,7 @@ class BatchedStreamingSession:
                     x_new[j], n_news[j], kls[j], vss[j], nvs[j] = \
                         x, nn, kl, vs, nv
                 (self._cache, self._buf, self._count, self._dec_state,
-                 self._blank_run, self._emitted_any, toks, splits) = \
+                 self._blank_run, self._emitted_any, out) = \
                     self._decode_rounds(
                         self.variables, self._enc_stack, self._cache,
                         jnp.asarray(x_new), jnp.asarray(n_news),
@@ -539,16 +558,15 @@ class BatchedStreamingSession:
                 for j, (w, lf, ne, _) in enumerate(group):
                     windows[j], left_frames[j], n_effs[j] = w, lf, ne
                 (self._buf, self._count, self._dec_state, self._blank_run,
-                 self._emitted_any, toks, splits) = self._decode_rounds(
+                 self._emitted_any, out) = self._decode_rounds(
                     self.variables, jnp.asarray(windows),
                     jnp.asarray(left_frames), jnp.asarray(n_effs), self._buf,
                     self._count, self._ensure_dec(), self._blank_run,
                     self._emitted_any)
                 gates = [(g[2], g[3]) for g in group]
-            toks = np.asarray(toks)      # (R, L, N) — one host transfer
-            splits = np.asarray(splits)
+            out = np.asarray(out)        # (3, R, L, N) — one host transfer
             for j in range(len(group)):
-                self._emit_round(toks[j], splits[j], *gates[j])
+                self._emit_round(out[:, j], *gates[j])
             if len(group) < max_bucket:
                 break
         return [st.result for st in self.streams]

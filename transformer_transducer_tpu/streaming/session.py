@@ -210,8 +210,10 @@ class StreamingSession:
         self.result: List[int] = []
         # per emitted token, the absolute subsampled-frame index it was
         # decoded at (frame period = subsample x 10 ms = 30 ms at the
-        # shipped configs) — beyond-reference serving metadata
+        # shipped configs) and its log-softmax probability at the emitting
+        # frame — beyond-reference serving metadata
         self.timestamps: List[int] = []
+        self.confidences: List[float] = []
         self.segments: List[List[int]] = [[]]
         self._finished = False
         # device-side decode state: label ring buffer (blank seed + last <=40
@@ -279,7 +281,7 @@ class StreamingSession:
 
             def body(carry):
                 (buf, count, dec_state, blank_run, emitted_any, t,
-                 out_tok, out_split) = carry
+                 out_tok, out_split, out_conf) = carry
                 # one batched joint against the CURRENT label state
                 logits = self.model.apply(
                     variables, enc_eff,
@@ -291,6 +293,10 @@ class StreamingSession:
                 emit_t = jnp.where(any_cand, jnp.argmax(cand), n_eff)
                 emit_i = jnp.minimum(emit_t, e_max - 1).astype(jnp.int32)
                 pred = preds[emit_i]
+                # per-emission confidence: log-softmax prob of the winning
+                # token at the emitting frame (beyond-reference metadata)
+                row = logits[emit_i].astype(jnp.float32)
+                conf = row[pred] - jax.nn.logsumexp(row)
                 # frames [t, emit_t) are all blank under this label state
                 had_tokens = emitted_any[0] > 0
                 blank_run = blank_run + jnp.where(had_tokens, emit_t - t, 0)
@@ -317,15 +323,18 @@ class StreamingSession:
                     any_cand, out_tok.at[emit_i].set(pred), out_tok)
                 out_split = jnp.where(
                     any_cand, out_split.at[emit_i].set(split), out_split)
+                out_conf = jnp.where(
+                    any_cand, out_conf.at[emit_i].set(conf), out_conf)
                 new_t = jnp.where(any_cand, emit_t + 1, n_eff).astype(t.dtype)
                 return (new_buf, new_count, new_dec, new_blank, new_emitted,
-                        new_t, out_tok, out_split)
+                        new_t, out_tok, out_split, out_conf)
 
             carry = state + (jnp.zeros((), jnp.int32),
                              jnp.zeros((e_max,), jnp.int32),
-                             jnp.zeros((e_max,), bool))
+                             jnp.zeros((e_max,), bool),
+                             jnp.zeros((e_max,), jnp.float32))
             out = jax.lax.while_loop(cond, body, carry)
-            return out[:5], (out[6], out[7])
+            return out[:5], (out[6], out[7], out[8])
 
         return frame_decode
 
@@ -374,18 +383,22 @@ class StreamingSession:
                                count, dec_state, blank_run, emitted_any):
             """K stacked windows threaded sequentially through the decode
             state — identical math to K single-window calls, one dispatch.
-            Returns outputs packed as one int32 array (single host
-            transfer): ``out[0] = tokens``, ``out[1] = splits``."""
+            Returns outputs packed as one float32 array (single host
+            transfer): ``out[0] = tokens``, ``out[1] = splits``,
+            ``out[2] = log-prob confidences`` (token ids and 0/1 splits are
+            exact in f32 — vocab << 2^24)."""
             def outer(state, xs):
                 window, lf, ne = xs
                 state, outs = window_body(variables, state, window, lf, ne)
                 return state, outs
 
-            (buf, count, dec_state, blank_run, emitted_any), (toks, splits) = \
+            (buf, count, dec_state, blank_run, emitted_any), \
+                (toks, splits, confs) = \
                 jax.lax.scan(outer, (buf, count, dec_state, blank_run,
                                      emitted_any),
                              (windows, left_frames, n_effs))
-            out = jnp.stack([toks, splits.astype(jnp.int32)])
+            out = jnp.stack([toks.astype(jnp.float32),
+                             splits.astype(jnp.float32), confs])
             return buf, count, dec_state, blank_run, emitted_any, out
 
         return window_decode_many
@@ -441,11 +454,12 @@ class StreamingSession:
                 return chunk_body(variables, enc_stack, carry, *step)
 
             (cache, (buf, count, dec_state, blank_run, emitted_any)), \
-                (toks, splits) = jax.lax.scan(
+                (toks, splits, confs) = jax.lax.scan(
                     outer,
                     (cache, (buf, count, dec_state, blank_run, emitted_any)),
                     (xs, n_news, key_limits, valid_starts, n_valids))
-            out = jnp.stack([toks, splits.astype(jnp.int32)])
+            out = jnp.stack([toks.astype(jnp.float32),
+                             splits.astype(jnp.float32), confs])
             return (cache, buf, count, dec_state, blank_run, emitted_any,
                     out)
 
@@ -607,7 +621,7 @@ class StreamingSession:
             out = np.asarray(out)  # ONE host transfer per device call
             for j, (_, _, n_eff, abs_start) in enumerate(group):
                 emitted += self._emit(out[0, j, :n_eff], out[1, j, :n_eff],
-                                      abs_start)
+                                      abs_start, out[2, j, :n_eff])
         return emitted
 
     # ----- incremental (cached-encoder) feed path ---------------------
@@ -687,7 +701,7 @@ class StreamingSession:
             out = np.asarray(out)  # ONE host transfer per device call
             for j, (_, _, _, _, nv, abs_start) in enumerate(group):
                 emitted += self._emit(out[0, j, :nv], out[1, j, :nv],
-                                      abs_start)
+                                      abs_start, out[2, j, :nv])
         # fed rows are never re-read from the host buffer
         drop = min(self._fed, total) - self._sub_base
         if drop > 0:
@@ -696,7 +710,8 @@ class StreamingSession:
         return emitted
 
     def _emit(self, toks: np.ndarray, splits: np.ndarray,
-              abs_start: int = 0) -> List[int]:
+              abs_start: int = 0,
+              confs: Optional[np.ndarray] = None) -> List[int]:
         emitted = []
         for idx, (tok, split) in enumerate(zip(toks, splits)):
             if tok == 0:
@@ -705,6 +720,8 @@ class StreamingSession:
                 self.segments.append([])
             self.result.append(int(tok))
             self.timestamps.append(abs_start + idx)
+            self.confidences.append(
+                float(confs[idx]) if confs is not None else 0.0)
             self.segments[-1].append(int(tok))
             emitted.append(int(tok))
             if self.on_token is not None:
