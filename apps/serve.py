@@ -91,12 +91,16 @@ def main():
         tokens = session.run_to_completion()
         period = scfg.subsample * 0.01   # subsampled-frame period, seconds
         for slot, path in enumerate(group):
+            text = "".join(vocab.decode(tokens[slot]))
+            if not args.json:
+                results[path] = {"text": text}
+                continue
             st = session.streams[slot]
             results[path] = {
-                "text": "".join(vocab.decode(tokens[slot])),
+                "text": text,
                 "tokens": tokens[slot],
                 "times_s": [round(f * period, 3) for f in st.timestamps],
-                "confidences": [round(float(np.exp(c)), 4)
+                "confidences": [round(float(np.exp(c)), 6)
                                 for c in st.confidences],
                 "segments": ["".join(vocab.decode(seg))
                              for seg in st.segments if seg],

@@ -11,21 +11,11 @@ import importlib.util
 import json
 import os
 import sys
-import wave
 
 import numpy as np
-import jax
-import pytest
 
+from transformer_transducer_tpu.data.wav import write_wave
 from tests.data_helpers import tiny_train_config
-
-
-def _write_wav(path, samples):
-    with wave.open(str(path), "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(16000)
-        w.writeframes(samples.astype(np.int16).tobytes())
 
 
 def _serve_module():
@@ -64,7 +54,7 @@ def test_serve_json_output(tmp_path, monkeypatch, capsys):
         w = (np.sin(np.arange(16000 + 4000 * s) * (0.02 + 0.01 * s)) * 9000
              + rng.randn(16000 + 4000 * s) * 1500)
         p = tmp_path / f"in{s}.wav"
-        _write_wav(p, w)
+        write_wave(str(p), w)
         wavs.append(str(p))
 
     monkeypatch.setattr(sys, "argv", [

@@ -24,7 +24,8 @@ import numpy as np
 
 from transformer_transducer_tpu.ops import features_np as F
 from transformer_transducer_tpu.ops.masks import context_mask, look_ahead_mask
-from transformer_transducer_tpu.streaming.session import StreamingConfig
+from transformer_transducer_tpu.streaming.session import (
+    StreamingConfig, pack_decode_outputs)
 
 
 class _StreamState:
@@ -212,8 +213,7 @@ class BatchedStreamingSession:
             state, (toks, splits, confs) = round_body(
                 variables, (buf, count, dec_state, blank_run, emitted_any),
                 (windows, left_frames, n_effs))
-            out = jnp.stack([toks.astype(jnp.float32),
-                             splits.astype(jnp.float32), confs])
+            out = pack_decode_outputs(toks, splits, confs)
             return (*state, out)
 
         @jax.jit
@@ -226,8 +226,7 @@ class BatchedStreamingSession:
                 lambda st, xs: round_body(variables, st, xs),
                 (buf, count, dec_state, blank_run, emitted_any),
                 (windows, left_frames, n_effs))
-            out = jnp.stack([toks.astype(jnp.float32),
-                             splits.astype(jnp.float32), confs])
+            out = pack_decode_outputs(toks, splits, confs)
             return (*state, out)
 
         self._decode_rounds = batched_decode_rounds
@@ -280,8 +279,7 @@ class BatchedStreamingSession:
                 variables, enc_stack,
                 (cache, (buf, count, dec_state, blank_run, emitted_any)),
                 (x_new, n_news, kls, vss, nvs))
-            out = jnp.stack([toks.astype(jnp.float32),
-                             splits.astype(jnp.float32), confs])
+            out = pack_decode_outputs(toks, splits, confs)
             return (cache, *state, out)
 
         @jax.jit
@@ -294,8 +292,7 @@ class BatchedStreamingSession:
                 lambda c, xs: round_body(variables, enc_stack, c, xs),
                 (cache, (buf, count, dec_state, blank_run, emitted_any)),
                 (x_new, n_news, kls, vss, nvs))
-            out = jnp.stack([toks.astype(jnp.float32),
-                             splits.astype(jnp.float32), confs])
+            out = pack_decode_outputs(toks, splits, confs)
             return (cache, *state, out)
 
         self._decode_rounds = chunk_decode_rounds

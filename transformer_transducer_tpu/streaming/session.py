@@ -145,6 +145,16 @@ def advance_window_geometry(pos: int, final_start: Optional[int],
         pos += n_eff
 
 
+def pack_decode_outputs(toks, splits, confs):
+    """Pack per-frame tokens / split flags / log-prob confidences into ONE
+    float32 array so each device call costs a single device->host transfer
+    (``out[0]=tokens``, ``out[1]=splits``, ``out[2]=confidences``; token ids
+    and 0/1 splits are exact in f32 — vocab << 2^24).  Shared by the solo
+    and batched decode programs."""
+    return jnp.stack([toks.astype(jnp.float32),
+                      splits.astype(jnp.float32), confs])
+
+
 class StreamingSession:
     def __init__(self, model: Transducer, variables, cfg: StreamingConfig,
                  on_token: Optional[Callable[[int, bool], None]] = None,
@@ -397,8 +407,7 @@ class StreamingSession:
                 jax.lax.scan(outer, (buf, count, dec_state, blank_run,
                                      emitted_any),
                              (windows, left_frames, n_effs))
-            out = jnp.stack([toks.astype(jnp.float32),
-                             splits.astype(jnp.float32), confs])
+            out = pack_decode_outputs(toks, splits, confs)
             return buf, count, dec_state, blank_run, emitted_any, out
 
         return window_decode_many
@@ -458,8 +467,7 @@ class StreamingSession:
                     outer,
                     (cache, (buf, count, dec_state, blank_run, emitted_any)),
                     (xs, n_news, key_limits, valid_starts, n_valids))
-            out = jnp.stack([toks.astype(jnp.float32),
-                             splits.astype(jnp.float32), confs])
+            out = pack_decode_outputs(toks, splits, confs)
             return (cache, buf, count, dec_state, blank_run, emitted_any,
                     out)
 
@@ -710,8 +718,7 @@ class StreamingSession:
         return emitted
 
     def _emit(self, toks: np.ndarray, splits: np.ndarray,
-              abs_start: int = 0,
-              confs: Optional[np.ndarray] = None) -> List[int]:
+              abs_start: int, confs: np.ndarray) -> List[int]:
         emitted = []
         for idx, (tok, split) in enumerate(zip(toks, splits)):
             if tok == 0:
@@ -720,8 +727,7 @@ class StreamingSession:
                 self.segments.append([])
             self.result.append(int(tok))
             self.timestamps.append(abs_start + idx)
-            self.confidences.append(
-                float(confs[idx]) if confs is not None else 0.0)
+            self.confidences.append(float(confs[idx]))
             self.segments[-1].append(int(tok))
             emitted.append(int(tok))
             if self.on_token is not None:
