@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--wav", required=True)
     ap.add_argument("--truth", default=None)
     ap.add_argument("--beam", action="store_true", help="width-5 beam search")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 serving (post-training quantization)")
     ap.add_argument("--full-context", action="store_true",
                     help="no banded mask (offline model)")
     ap.add_argument("--set", action="append", default=[], dest="overrides",
@@ -37,9 +39,8 @@ def main():
     from transformer_transducer_tpu.utils.config import (
         apply_overrides, load_config, stack_context, subsample_factor)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
-    from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
     from transformer_transducer_tpu.utils.metrics import batch_cer
-    from transformer_transducer_tpu.models.factory import build_family
+    from transformer_transducer_tpu.models.factory import load_family
     from transformer_transducer_tpu.ops import features_np as F
     from transformer_transducer_tpu.ops.masks import context_mask
     from transformer_transducer_tpu.data.wav import read_wave
@@ -50,9 +51,8 @@ def main():
     vocab = Vocabulary.from_file(cfg.data.vocab)
     left_ctx, right_ctx = stack_context(cfg.data)
     d_in = (cfg.data.feature_dim or 128) * (1 + left_ctx + right_ctx)
-    model, variables, is_espnet = build_family(cfg, d_in)
-    params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint, variables["params"])
-    variables = {"params": params}
+    model, variables, is_espnet = load_family(cfg, d_in, args.checkpoint,
+                                              int8=args.int8)
 
     wave, rate = read_wave(args.wav)
     feats = F.subsample(F.stack_frames(

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--streams", type=int, default=None,
                     help="concurrent streams per device round "
                     "(default: min(len(wavs), 8))")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 serving (post-training quantization)")
     ap.add_argument("--incremental", action="store_true",
                     help="cached-encoder rounds (native family): O(new "
                          "frames) encoder work + short greedy scans")
@@ -50,8 +52,7 @@ def main():
     from transformer_transducer_tpu.utils.config import (
         apply_overrides, load_config, stack_context)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
-    from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
-    from transformer_transducer_tpu.models.factory import build_family
+    from transformer_transducer_tpu.models.factory import load_family
     from transformer_transducer_tpu.streaming.batched import (
         BatchedStreamingSession)
     from transformer_transducer_tpu.streaming.session import StreamingConfig
@@ -62,10 +63,8 @@ def main():
     vocab = Vocabulary.from_file(cfg.data.vocab)
     d_in = (cfg.data.feature_dim or 128) * (
         1 + sum(stack_context(cfg.data)))
-    model, variables, _ = build_family(cfg, d_in)
-    params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint,
-                                            variables["params"])
-    variables = {"params": params}
+    model, variables, _ = load_family(cfg, d_in, args.checkpoint,
+                                      int8=getattr(args, "int8", False))
 
     n_streams = args.streams or min(len(args.wavs), 8)
     scfg = StreamingConfig.from_config(cfg)

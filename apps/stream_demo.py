@@ -27,8 +27,7 @@ def build_session(args):
     from transformer_transducer_tpu.utils.config import (
         apply_overrides, load_config, stack_context)
     from transformer_transducer_tpu.utils.vocab import Vocabulary
-    from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
-    from transformer_transducer_tpu.models.factory import build_family
+    from transformer_transducer_tpu.models.factory import load_family
     from transformer_transducer_tpu.streaming.session import (
         StreamingConfig, StreamingSession)
 
@@ -36,11 +35,8 @@ def build_session(args):
     apply_overrides(cfg, getattr(args, "overrides", []))
     vocab = Vocabulary.from_file(cfg.data.vocab)
     d_in = (cfg.data.feature_dim or 128) * (1 + sum(stack_context(cfg.data)))
-    model, variables, _ = build_family(cfg, d_in)
-    if args.checkpoint:
-        params, _, _ = ckpt_lib.load_checkpoint(args.checkpoint,
-                                                variables["params"])
-        variables = {"params": params}
+    model, variables, _ = load_family(cfg, d_in, args.checkpoint,
+                                      int8=getattr(args, "int8", False))
     scfg = StreamingConfig.from_config(cfg)
 
     def on_token(tok, _is_split):
@@ -107,6 +103,8 @@ def main():
     ap.add_argument("--realtime", action="store_true",
                     help="pace file chunks at real time")
     ap.add_argument("--rtf", action="store_true", help="report RTF")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 serving (post-training quantization)")
     ap.add_argument("--incremental", action="store_true",
                     help="cached-encoder session (native family): O(new "
                          "frames) work per step instead of halo re-encode")

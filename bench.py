@@ -83,8 +83,11 @@ def _best_of(fn, *args, repeats=3, divisor=1):
     return best
 
 
-def bench_offline_rtf(batch=8, t=410, u_cap=43):
-    """Encoder + batched greedy decode on the aishell config."""
+def bench_offline_rtf(batch=8, t=410, u_cap=43, int8=False):
+    """Encoder + batched greedy decode on the aishell config.
+
+    ``int8``: the W8A8 serving path (ops/quant.py) — s8 MXU matmuls for
+    every projection, dynamic activation scales."""
     from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.decoding.greedy import greedy_decode
 
@@ -94,6 +97,9 @@ def bench_offline_rtf(batch=8, t=410, u_cap=43):
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
     params = model.init(rng, x[:, :8], jnp.zeros((batch, 4), jnp.int32))
+    if int8:
+        from transformer_transducer_tpu.models.factory import to_quant
+        model, params = to_quant(model, params)
     t_len = jnp.full((batch,), t)
 
     # params as jit ARGUMENTS (framework rule: closures bake them into the
@@ -149,6 +155,36 @@ def bench_train_step(batch=4, t=410, u=42, n_chain=8):
 
     return _best_of(chain, params, opt_state, batch_d,
                     divisor=n_chain) * 1e3  # ms/step
+
+
+def bench_encode_int8_ms(batch=16, t=410, n_chain=64):
+    """Encoder-only chain time, bf16 vs int8 (W8A8), same shapes as
+    bench_encode_mfu — isolates the s8-MXU win on the projection matmuls
+    (the attention einsums stay bf16 in both)."""
+    from transformer_transducer_tpu.models.factory import to_quant
+    from transformer_transducer_tpu.models.transducer import Transducer
+
+    def run(int8):
+        model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
+                           dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
+                           compute_dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (batch, t, 512))
+        params = model.init(rng, x[:1, :8], jnp.zeros((1, 4), jnp.int32))
+        if int8:
+            model, params = to_quant(model, params)
+
+        @jax.jit
+        def chain(params, x):
+            def body(c, _):
+                out = model.apply(params, c, None, method=Transducer.encode)
+                return out * 1e-3 + x, None
+            out, _ = jax.lax.scan(body, x, None, length=n_chain)
+            return jnp.sum(out)
+
+        return _best_of(chain, params, x, divisor=n_chain) * 1e3
+
+    return run(False), run(True)
 
 
 def bench_encode_mfu(batch=16, t=410, n_chain=64):
@@ -606,6 +642,43 @@ def bench_streaming_rtf(seconds=30):
     return seconds / dt, lat_ms
 
 
+def bench_streaming_rtf_espnet(seconds=30):
+    """Warm single-stream streaming RTF for the ESPnet family
+    (configs/espnet_aishell.yaml geometry: 8 rel-pos blocks, d=512,
+    additive joint, vocab 4233) — the one family x config pairing the
+    other streaming benches don't cover.  Throughput regime only (stacked
+    ready windows, same program structure as bench_streaming_rtf)."""
+    import os
+
+    import numpy as np
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    from transformer_transducer_tpu.streaming.session import (
+        StreamingConfig, StreamingSession)
+    from transformer_transducer_tpu.utils.config import load_config
+
+    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "configs", "espnet_aishell.yaml"))
+    model = build_espnet_transducer(cfg.model, compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 8, 512)), jnp.asarray([8]),
+                           jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    scfg = StreamingConfig.from_config(cfg)
+    session = StreamingSession(model, variables, scfg)
+    rs = np.random.RandomState(0)
+    wav = (rs.randn(16000 * seconds) * 3000).astype("int16")
+    session.accept_waveform(wav)
+    session.finalize()
+    dt = 1e9
+    for _ in range(3):
+        session.reset()
+        t0 = time.perf_counter()
+        session.accept_waveform(wav)
+        session.finalize()
+        dt = min(dt, time.perf_counter() - t0)
+    return seconds / dt
+
+
 def bench_multistream(n_streams=8, seconds=30):
     """Aggregate serving throughput: N concurrent streaming sessions on one
     chip via ``BatchedStreamingSession`` (one fused device program per round,
@@ -699,6 +772,10 @@ def main():
     backend = jax.default_backend()
     _note("offline_rtf")
     rtf = bench_offline_rtf()
+    _note("offline_rtf int8")
+    rtf_int8 = bench_offline_rtf(int8=True)
+    _note("encode int8 vs bf16")
+    enc_ms_f, enc_ms_q = bench_encode_int8_ms()
     _note("train_step b4")
     step_ms = bench_train_step()
     _note("train_step b32")
@@ -723,6 +800,8 @@ def main():
     enc_mfu = bench_encode_mfu()
     _note("streaming aishell")
     stream_rtf, stream_lat_ms = bench_streaming_rtf()
+    _note("streaming espnet")
+    stream_rtf_esp = bench_streaming_rtf_espnet()
     _note("streaming flagship")
     flag_rtf, flag_lat_ms = bench_streaming_rtf_flagship()
     _note("streaming flagship incremental")
@@ -762,12 +841,16 @@ def main():
         "mfu_train_step_b32_aishell": round(train_mfu(32, step_ms32), 4),
         "mfu_train_step_b4_flagship": round(flag_mfu, 4),
         "mfu_offline_encode_b16_aishell": round(enc_mfu, 4),
+        "offline_rtf_int8_aishell": round(rtf_int8, 2),
+        "encode_chain_ms_b16_aishell": {"bf16": round(enc_ms_f, 3),
+                                        "int8": round(enc_ms_q, 3)},
         "rnnt_loss_fwdbwd_ms_b4_t410_u42": round(loss_ms, 2),
         "rnnt_loss_cpu_fwdbwd_ms_b4_t410_u42": (
             round(cpu_loss_ms, 1) if cpu_loss_ms else None),
         "rnnt_loss_tpu_vs_cpu_x": (
             round(cpu_loss_ms / loss_ms, 1) if cpu_loss_ms else None),
         "streaming_x_realtime_warm_aishell": round(stream_rtf, 2),
+        "streaming_x_realtime_warm_espnet": round(stream_rtf_esp, 2),
         "streaming_cadence_ms_per_window_aishell": round(stream_lat_ms, 2),
         "streaming_x_realtime_warm_flagship": round(flag_rtf, 2),
         "streaming_cadence_ms_per_window_flagship": round(flag_lat_ms, 2),

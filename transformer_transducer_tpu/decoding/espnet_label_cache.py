@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from transformer_transducer_tpu.ops.quant import apply_dense_params
+
 from transformer_transducer_tpu.models.espnet_variant import (
     rel_positional_encoding)
 
@@ -99,12 +101,9 @@ def step(params: Dict, tokens: jax.Array, cache: Dict,
         ap = lp["self_attn"]
         h, dk = ap["pos_bias_u"].shape
         y = _layer_norm(x, lp["norm1"]["scale"], lp["norm1"]["bias"])
-        q = (y @ ap["linear_q"]["kernel"] + ap["linear_q"]["bias"]) \
-            .reshape(b, h, dk)
-        k_new = (y @ ap["linear_k"]["kernel"] + ap["linear_k"]["bias"]) \
-            .reshape(b, h, dk)
-        v_new = (y @ ap["linear_v"]["kernel"] + ap["linear_v"]["bias"]) \
-            .reshape(b, h, dk)
+        q = apply_dense_params(y, ap["linear_q"]).reshape(b, h, dk)
+        k_new = apply_dense_params(y, ap["linear_k"]).reshape(b, h, dk)
+        v_new = apply_dense_params(y, ap["linear_v"]).reshape(b, h, dk)
 
         onehot = (pos_j == idx[:, None]).astype(k_new.dtype)  # (B, cap)
         upd = update_mask[:, None].astype(k_new.dtype)
@@ -115,20 +114,20 @@ def step(params: Dict, tokens: jax.Array, cache: Dict,
         new_cache["k"].append(k_cache)
         new_cache["v"].append(v_cache)
 
-        p = (pos_rows @ ap["linear_pos"]["kernel"]).reshape(b, cap, h, dk)
+        p = apply_dense_params(pos_rows, ap["linear_pos"]).reshape(b, cap, h, dk)
         ac = jnp.einsum("bhd,bjhd->bhj", q + ap["pos_bias_u"], k_cache)
         bd = jnp.einsum("bhd,bjhd->bhj", q + ap["pos_bias_v"], p)
         score = (ac + bd) / math.sqrt(dk)
         score = jnp.where(attend[:, None, :], score, NEG_INF)
         prob = jax.nn.softmax(score, axis=-1)
         vec = jnp.einsum("bhj,bjhd->bhd", prob, v_cache).reshape(b, h * dk)
-        att = vec @ ap["linear_out"]["kernel"] + ap["linear_out"]["bias"]
+        att = apply_dense_params(vec, ap["linear_out"])
         x = x + att
 
         y = _layer_norm(x, lp["norm2"]["scale"], lp["norm2"]["bias"])
         fp = lp["feed_forward"]
-        y = jax.nn.relu(y @ fp["w_1"]["kernel"] + fp["w_1"]["bias"])
-        y = y @ fp["w_2"]["kernel"] + fp["w_2"]["bias"]
+        y = jax.nn.relu(apply_dense_params(y, fp["w_1"]))
+        y = apply_dense_params(y, fp["w_2"])
         x = x + y
 
     out = _layer_norm(x, dec["after_norm"]["scale"],

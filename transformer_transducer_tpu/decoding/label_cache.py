@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from transformer_transducer_tpu.ops.quant import apply_dense_params
+
 
 def init_cache(params: Dict, batch: int, cap: int) -> Dict:
     """Empty per-layer K/V caches + position counter."""
@@ -86,7 +88,7 @@ def step(params: Dict, tokens: jax.Array, cache: Dict,
         lp = dec[lname]
         ap = lp["attn"]
         h, dh = lp["r_w_bias"].shape
-        qkv = x @ ap["qkv"]["kernel"]                       # (B, 3*H*Dh)
+        qkv = apply_dense_params(x, ap["qkv"])              # (B, 3*H*Dh)
         q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, h, dh)
         k_new = k_new.reshape(b, h, dh)
@@ -112,13 +114,13 @@ def step(params: Dict, tokens: jax.Array, cache: Dict,
                           jnp.finfo(jnp.float32).min)
         prob = jax.nn.softmax(score, axis=-1)
         vec = jnp.einsum("bhj,bjhd->bhd", prob, v_cache).reshape(b, h * dh)
-        attn_out = vec @ ap["out"]["kernel"]
+        attn_out = apply_dense_params(vec, ap["out"])
         x = _layer_norm(x + attn_out, ap["ln"]["scale"], ap["ln"]["bias"])
 
         fp = lp["ff"]
         y = _layer_norm(x, fp["ln"]["scale"], fp["ln"]["bias"])
-        y = jax.nn.relu(y @ fp["fc1"]["kernel"] + fp["fc1"]["bias"])
-        y = y @ fp["fc2"]["kernel"] + fp["fc2"]["bias"]
+        y = jax.nn.relu(apply_dense_params(y, fp["fc1"]))
+        y = apply_dense_params(y, fp["fc2"])
         x = _layer_norm(x + y, fp["ln"]["scale"], fp["ln"]["bias"])
 
     return x, new_cache

@@ -31,6 +31,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from transformer_transducer_tpu.ops.quant import make_dense
+
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
@@ -71,6 +73,7 @@ class RelLearnableSelfAttention(nn.Module):
     dropout: float = 0.0
     dropatt: float = 0.0
     flash: bool = False   # unmasked attention via the flash Pallas kernel
+    quant: bool = False   # int8 projections (inference; see ops/quant.py)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -82,8 +85,8 @@ class RelLearnableSelfAttention(nn.Module):
         h, dh = self.n_head, self.d_head
         xc = x.astype(self.compute_dtype)
 
-        qkv = nn.Dense(3 * h * dh, use_bias=False, name="qkv",
-                       dtype=self.compute_dtype)(xc)
+        qkv = make_dense(self.quant, 3 * h * dh, use_bias=False, name="qkv",
+                         dtype=self.compute_dtype)(xc)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         klen = qlen
         q = q.reshape(b, qlen, h, dh)
@@ -97,8 +100,8 @@ class RelLearnableSelfAttention(nn.Module):
             """Shared out-projection -> dropout -> residual LayerNorm
             (identical for every score-computation branch)."""
             vec = vec.reshape(b, qlen, h * dh).astype(self.compute_dtype)
-            out = nn.Dense(self.d_model, use_bias=False, name="out",
-                           dtype=self.compute_dtype)(vec)
+            out = make_dense(self.quant, self.d_model, use_bias=False,
+                             name="out", dtype=self.compute_dtype)(vec)
             out = nn.Dropout(self.dropout, name="drop")(
                 out, deterministic=deterministic)
             return nn.LayerNorm(epsilon=1e-5, name="ln")(
@@ -161,16 +164,19 @@ class PositionwiseFF(nn.Module):
     d_model: int
     d_inner: int
     dropout: float = 0.0
+    quant: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         ln = nn.LayerNorm(epsilon=1e-5, name="ln")
         h = ln(x).astype(self.compute_dtype)
-        h = nn.Dense(self.d_inner, name="fc1", dtype=self.compute_dtype)(h)
+        h = make_dense(self.quant, self.d_inner, name="fc1",
+                       dtype=self.compute_dtype)(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, name="drop1")(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="fc2", dtype=self.compute_dtype)(h)
+        h = make_dense(self.quant, self.d_model, name="fc2",
+                       dtype=self.compute_dtype)(h)
         h = nn.Dropout(self.dropout, name="drop2")(h, deterministic=deterministic)
         return ln(x + h.astype(jnp.float32))
 
@@ -189,6 +195,7 @@ class TransformerXLLayer(nn.Module):
     d_inner: int
     dropout: float = 0.0
     flash: bool = False
+    quant: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,12 +210,13 @@ class TransformerXLLayer(nn.Module):
                             (self.k_len, self.n_head), jnp.float32)
         x = RelLearnableSelfAttention(
             n_head=self.n_head, d_model=self.d_model, d_head=self.d_head,
-            dropout=self.dropout, flash=self.flash,
+            dropout=self.dropout, flash=self.flash, quant=self.quant,
             compute_dtype=self.compute_dtype,
             name="attn")(x, r_emb, r_w_bias, r_bias, attn_mask, deterministic,
                          band=band)
         x = PositionwiseFF(
             d_model=self.d_model, d_inner=self.d_inner, dropout=self.dropout,
-            compute_dtype=self.compute_dtype, name="ff")(x, deterministic)
+            quant=self.quant, compute_dtype=self.compute_dtype,
+            name="ff")(x, deterministic)
         x = nn.Dropout(self.dropout, name="drop")(x, deterministic=deterministic)
         return x

@@ -39,6 +39,7 @@ import numpy as np
 
 from transformer_transducer_tpu.models.attention import rel_shift
 from transformer_transducer_tpu.ops.masks import combine_masks, context_mask, padding_mask
+from transformer_transducer_tpu.ops.quant import make_dense
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -67,6 +68,7 @@ class RelPosMultiHeadAttention(nn.Module):
     n_head: int
     d_model: int
     dropout: float = 0.0
+    quant: bool = False   # int8 projections (inference; see ops/quant.py)
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,11 +80,15 @@ class RelPosMultiHeadAttention(nn.Module):
         dk = self.d_model // h
         cd = self.compute_dtype
         xc = x.astype(cd)
-        q = nn.Dense(self.d_model, name="linear_q", dtype=cd)(xc).reshape(b, t, h, dk)
-        k = nn.Dense(self.d_model, name="linear_k", dtype=cd)(xc).reshape(b, t, h, dk)
-        v = nn.Dense(self.d_model, name="linear_v", dtype=cd)(xc).reshape(b, t, h, dk)
-        p = nn.Dense(self.d_model, use_bias=False, name="linear_pos",
-                     dtype=cd)(pos_emb.astype(cd)).reshape(-1, h, dk)
+        q = make_dense(self.quant, self.d_model, name="linear_q",
+                       dtype=cd)(xc).reshape(b, t, h, dk)
+        k = make_dense(self.quant, self.d_model, name="linear_k",
+                       dtype=cd)(xc).reshape(b, t, h, dk)
+        v = make_dense(self.quant, self.d_model, name="linear_v",
+                       dtype=cd)(xc).reshape(b, t, h, dk)
+        p = make_dense(self.quant, self.d_model, use_bias=False,
+                       name="linear_pos",
+                       dtype=cd)(pos_emb.astype(cd)).reshape(-1, h, dk)
 
         u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
         w = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
@@ -101,23 +107,26 @@ class RelPosMultiHeadAttention(nn.Module):
         probs = nn.Dropout(self.dropout, name="dropatt")(
             probs.astype(cd), deterministic=deterministic)
         out = jnp.einsum("bnij,bjnd->bind", probs, v).reshape(b, t, h * dk)
-        return nn.Dense(self.d_model, name="linear_out", dtype=cd)(out).astype(jnp.float32)
+        return make_dense(self.quant, self.d_model, name="linear_out",
+                          dtype=cd)(out).astype(jnp.float32)
 
 
 class EspnetFeedForward(nn.Module):
     d_model: int
     d_inner: int
     dropout: float = 0.0
+    quant: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.Dense(self.d_inner, name="w_1", dtype=self.compute_dtype)(
+        h = make_dense(self.quant, self.d_inner, name="w_1",
+                       dtype=self.compute_dtype)(
             x.astype(self.compute_dtype))
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, name="drop")(h, deterministic=deterministic)
-        return nn.Dense(self.d_model, name="w_2",
-                        dtype=self.compute_dtype)(h).astype(jnp.float32)
+        return make_dense(self.quant, self.d_model, name="w_2",
+                          dtype=self.compute_dtype)(h).astype(jnp.float32)
 
 
 class EspnetEncoderLayer(nn.Module):
@@ -128,6 +137,7 @@ class EspnetEncoderLayer(nn.Module):
     d_inner: int
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    quant: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -137,12 +147,13 @@ class EspnetEncoderLayer(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         att = RelPosMultiHeadAttention(
             n_head=self.n_head, d_model=self.d_model, dropout=self.attn_dropout,
-            compute_dtype=self.compute_dtype, name="self_attn")(
+            quant=self.quant, compute_dtype=self.compute_dtype,
+            name="self_attn")(
             y, pos_emb, attn_mask, deterministic)
         x = x + nn.Dropout(self.dropout, name="drop1")(att, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         ff = EspnetFeedForward(d_model=self.d_model, d_inner=self.d_inner,
-                               dropout=self.dropout,
+                               dropout=self.dropout, quant=self.quant,
                                compute_dtype=self.compute_dtype,
                                name="feed_forward")(y, deterministic)
         return x + nn.Dropout(self.dropout, name="drop2")(ff, deterministic=deterministic)
@@ -184,6 +195,7 @@ class Conv2dSubsampling(nn.Module):
 
     odim: int
     variant: str = "conv2d"
+    quant: bool = False   # int8 for the flattening Dense (convs stay float)
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: Optional[jax.Array]
@@ -195,7 +207,7 @@ class Conv2dSubsampling(nn.Module):
             h = nn.relu(h)
         b, t, f, c = h.shape
         h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)   # torch (b,t,c*f)
-        h = nn.Dense(self.odim, name="out")(h)
+        h = make_dense(self.quant, self.odim, name="out")(h)
         if lengths is None:
             return h, None
         return h, conv_subsampled_length(lengths, self.variant, x.shape[1])
@@ -222,6 +234,7 @@ class EspnetTransformerEncoder(nn.Module):
     input_layer: Optional[str] = None
     input_size: Optional[int] = None
     padding_idx: Optional[int] = None   # espnet padding_idx=-1 -> row V-1
+    quant: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -239,7 +252,7 @@ class EspnetTransformerEncoder(nn.Module):
                 row = self.padding_idx % self.input_size
                 x = x * (xs != row)[..., None].astype(x.dtype)
         elif self.input_layer == "linear":
-            x = nn.Dense(self.output_size, name="input_proj")(xs)
+            x = make_dense(self.quant, self.output_size, name="input_proj")(xs)
             x = nn.LayerNorm(epsilon=1e-5, name="input_norm")(x)
             x = nn.Dropout(self.dropout_rate, name="input_drop")(
                 x, deterministic=deterministic)
@@ -247,7 +260,7 @@ class EspnetTransformerEncoder(nn.Module):
         elif self.input_layer in _CONV_STACKS:
             x, lengths = Conv2dSubsampling(
                 odim=self.output_size, variant=self.input_layer,
-                name="subsample")(xs, lengths)
+                quant=self.quant, name="subsample")(xs, lengths)
         else:
             x = xs
 
@@ -275,7 +288,7 @@ class EspnetTransformerEncoder(nn.Module):
             x = EspnetEncoderLayer(
                 n_head=self.attention_heads, d_model=self.output_size,
                 d_inner=self.linear_units, dropout=self.dropout_rate,
-                attn_dropout=self.attention_dropout_rate,
+                attn_dropout=self.attention_dropout_rate, quant=self.quant,
                 compute_dtype=self.compute_dtype, name=f"layer_{i}")(
                 x, pos, mask, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
@@ -288,21 +301,23 @@ class AdditiveJointNetwork(nn.Module):
     vocab_size: int
     joint_space_size: int
     activation: str = "tanh"
+    quant: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, enc: jax.Array, dec: jax.Array) -> jax.Array:
         cd = self.compute_dtype
-        he = nn.Dense(self.joint_space_size, name="lin_enc", dtype=cd)(enc.astype(cd))
-        hd = nn.Dense(self.joint_space_size, use_bias=False, name="lin_dec",
-                      dtype=cd)(dec.astype(cd))
+        he = make_dense(self.quant, self.joint_space_size, name="lin_enc",
+                        dtype=cd)(enc.astype(cd))
+        hd = make_dense(self.quant, self.joint_space_size, use_bias=False,
+                        name="lin_dec", dtype=cd)(dec.astype(cd))
         if enc.ndim == 3 and dec.ndim == 3:
             h = he[:, :, None, :] + hd[:, None, :, :]
         else:
             h = he + hd
         act = {"tanh": jnp.tanh, "relu": nn.relu}[self.activation]
-        return nn.Dense(self.vocab_size, name="lin_out",
-                        dtype=cd)(act(h)).astype(jnp.float32)
+        return make_dense(self.quant, self.vocab_size, name="lin_out",
+                          dtype=cd)(act(h)).astype(jnp.float32)
 
 
 class EspnetTransducer(nn.Module):
@@ -316,6 +331,8 @@ class EspnetTransducer(nn.Module):
     encoder_left_mask: int = 10
     encoder_right_mask: int = 2
     decoder_left_mask: int = 2
+    quant: bool = False   # int8 projections; variables must come from
+                          # ops.quant.quantize_variables (inference only)
     compute_dtype: Any = jnp.float32
 
     @property
@@ -324,12 +341,15 @@ class EspnetTransducer(nn.Module):
 
     def setup(self):
         self.encoder = EspnetTransformerEncoder(
-            compute_dtype=self.compute_dtype, **dict(self.enc_kwargs))
+            quant=self.quant, compute_dtype=self.compute_dtype,
+            **dict(self.enc_kwargs))
         self.decoder = EspnetTransformerEncoder(
-            compute_dtype=self.compute_dtype, **dict(self.dec_kwargs))
+            quant=self.quant, compute_dtype=self.compute_dtype,
+            **dict(self.dec_kwargs))
         self.joint = AdditiveJointNetwork(
             vocab_size=self.vocab_size, joint_space_size=self.joint_space_size,
-            activation=self.joint_activation, compute_dtype=self.compute_dtype)
+            activation=self.joint_activation, quant=self.quant,
+            compute_dtype=self.compute_dtype)
 
     def __call__(self, speech: jax.Array, speech_lengths: jax.Array,
                  text: jax.Array, text_lengths: jax.Array,
@@ -391,14 +411,16 @@ class EspnetTransducer(nn.Module):
 def joint_params_from_espnet_variables(variables):
     """(W_enc, W_dec, b_enc, W_out, b_out) for the fused RNN-T loss path —
     the additive joint has the same algebraic form as the concat joint."""
+    from transformer_transducer_tpu.ops.quant import dense_kernel
     params = variables["params"] if "params" in variables else variables
     joint = params["joint"]
-    return (joint["lin_enc"]["kernel"], joint["lin_dec"]["kernel"],
-            joint["lin_enc"]["bias"], joint["lin_out"]["kernel"],
+    return (dense_kernel(joint["lin_enc"]), dense_kernel(joint["lin_dec"]),
+            joint["lin_enc"]["bias"], dense_kernel(joint["lin_out"]),
             joint["lin_out"]["bias"])
 
 
-def build_espnet_transducer(model_cfg, compute_dtype=jnp.float32) -> EspnetTransducer:
+def build_espnet_transducer(model_cfg, compute_dtype=jnp.float32,
+                            quant: bool = False) -> EspnetTransducer:
     """From a reference-schema ``config/espnet_aishell.yaml`` model block."""
     def enc_args(blk, input_layer):
         return tuple({
@@ -423,4 +445,4 @@ def build_espnet_transducer(model_cfg, compute_dtype=jnp.float32) -> EspnetTrans
         encoder_left_mask=model_cfg.mask.encoder_left_mask,
         encoder_right_mask=model_cfg.mask.encoder_right_mask,
         decoder_left_mask=model_cfg.mask.decoder_left_mask,
-        compute_dtype=compute_dtype)
+        quant=quant, compute_dtype=compute_dtype)

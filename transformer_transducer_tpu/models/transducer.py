@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from transformer_transducer_tpu.models.attention import TransformerXLLayer
 from transformer_transducer_tpu.ops.masks import look_ahead_mask
+from transformer_transducer_tpu.ops.quant import make_dense
 
 
 class AudioEncoder(nn.Module):
@@ -47,6 +48,7 @@ class AudioEncoder(nn.Module):
                           # (B,H,T,T) attention residuals; ~17% faster
                           # fwd+bwd at B=32 on v5e)
     flash: bool = False   # flash Pallas kernel for unmasked attention
+    quant: bool = False   # int8 projections (inference; see ops/quant.py)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,7 +62,8 @@ class AudioEncoder(nn.Module):
             x = layer_cls(
                 k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
                 d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
-                flash=self.flash, compute_dtype=self.compute_dtype,
+                flash=self.flash, quant=self.quant,
+                compute_dtype=self.compute_dtype,
                 name=f"layer_{i}")(x, attn_mask, deterministic, band)
         return x
 
@@ -74,6 +77,7 @@ class LabelEncoder(nn.Module):
     d_head: int
     d_inner: int
     dropout: float = 0.0
+    quant: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -83,7 +87,8 @@ class LabelEncoder(nn.Module):
         self.layers = [TransformerXLLayer(
             k_len=self.k_len, n_head=self.n_head, d_model=self.d_model,
             d_head=self.d_head, d_inner=self.d_inner, dropout=self.dropout,
-            compute_dtype=self.compute_dtype, name=f"layer_{i}")
+            quant=self.quant, compute_dtype=self.compute_dtype,
+            name=f"layer_{i}")
             for i in range(self.n_layer)]
 
     def __call__(self, tokens: jax.Array, attn_mask: Optional[jax.Array] = None,
@@ -104,6 +109,7 @@ class LabelEncoder(nn.Module):
 class JointNetwork(nn.Module):
     inner_dim: int
     vocab_size: int
+    quant: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,15 +129,18 @@ class JointNetwork(nn.Module):
             dec_state = jnp.broadcast_to(dec_state[:, None, :, :],
                                          (dec_state.shape[0], t) + dec_state.shape[1:])
         concat = jnp.concatenate([enc_state, dec_state], axis=-1).astype(self.compute_dtype)
-        h = nn.Dense(self.inner_dim, name="forward_layer", dtype=self.compute_dtype)(concat)
+        h = make_dense(self.quant, self.inner_dim, name="forward_layer",
+                       dtype=self.compute_dtype)(concat)
         h = jnp.tanh(h)
         if tied_projection is not None:
+            # Tied projection reuses the (float) embedding table — it is not
+            # a stored Dense kernel, so it stays unquantized.
             bias = self.param("project_bias", nn.initializers.zeros,
                               (self.vocab_size,), jnp.float32)
             out = h @ tied_projection.T.astype(self.compute_dtype) + bias
             return out.astype(jnp.float32)
-        return nn.Dense(self.vocab_size, name="project_layer",
-                        dtype=self.compute_dtype)(h).astype(jnp.float32)
+        return make_dense(self.quant, self.vocab_size, name="project_layer",
+                          dtype=self.compute_dtype)(h).astype(jnp.float32)
 
 
 class Transducer(nn.Module):
@@ -152,6 +161,8 @@ class Transducer(nn.Module):
     # consistency is the paper's (arXiv:2002.02562) intent, and O(T*window)
     # beats the dense (T,T) masked path ~4x at T=410, w=13.
     band: Optional[Tuple[int, int]] = None
+    quant: bool = False   # int8 projections; variables must come from
+                          # ops.quant.quantize_variables (inference only)
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -160,15 +171,16 @@ class Transducer(nn.Module):
         self.encoder = AudioEncoder(n_layer=e[0], k_len=e[1], n_head=e[2],
                                     d_model=e[3], d_head=e[4], d_inner=e[5],
                                     dropout=self.dropout, remat=self.remat,
-                                    flash=self.flash,
+                                    flash=self.flash, quant=self.quant,
                                     compute_dtype=self.compute_dtype)
         self.decoder = LabelEncoder(vocab_size=self.vocab_size, n_layer=d[0],
                                     k_len=d[1], n_head=d[2], d_model=d[3],
                                     d_head=d[4], d_inner=d[5],
-                                    dropout=self.dropout,
+                                    dropout=self.dropout, quant=self.quant,
                                     compute_dtype=self.compute_dtype)
         self.joint = JointNetwork(inner_dim=self.joint_inner,
                                   vocab_size=self.vocab_size,
+                                  quant=self.quant,
                                   compute_dtype=self.compute_dtype)
 
     def __call__(self, inputs: jax.Array, targets: jax.Array,
@@ -222,7 +234,7 @@ class Transducer(nn.Module):
 
 def build_transducer(model_cfg, compute_dtype=jnp.float32,
                      remat: bool = False, flash: bool = False,
-                     banded: bool = False) -> Transducer:
+                     banded: bool = False, quant: bool = False) -> Transducer:
     """Construct a :class:`Transducer` from a reference-schema model config
     (``config/*.yaml`` ``model:`` block, e.g. ``config/aishell.yaml:20-48``).
 
@@ -250,5 +262,5 @@ def build_transducer(model_cfg, compute_dtype=jnp.float32,
                       joint_inner=model_cfg.joint.inner_size,
                       dropout=model_cfg.dropout or 0.0,
                       share_embedding=bool(model_cfg.share_embedding),
-                      remat=remat, flash=flash, band=band,
+                      remat=remat, flash=flash, band=band, quant=quant,
                       compute_dtype=compute_dtype)

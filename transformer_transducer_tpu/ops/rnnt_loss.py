@@ -263,15 +263,16 @@ def joint_params_from_variables(variables, enc_dim=None) -> Tuple[jax.Array, ...
     shipped config).  Weight-tied joints (``share_embedding``) have no
     ``project_layer``; their output projection is the decoder embedding
     table transposed (requires the FULL param tree, not just the joint)."""
+    from transformer_transducer_tpu.ops.quant import dense_kernel
     params = variables["params"] if "params" in variables else variables
     joint = params["joint"] if "joint" in params else params
-    w1 = joint["forward_layer"]["kernel"]
+    w1 = dense_kernel(joint["forward_layer"])
     b1 = joint["forward_layer"]["bias"]
     if enc_dim is None and "decoder" in params:
         dec_dim = params["decoder"]["embedding"]["embedding"].shape[1]
         enc_dim = w1.shape[0] - dec_dim
     if "project_layer" in joint:
-        w2 = joint["project_layer"]["kernel"]
+        w2 = dense_kernel(joint["project_layer"])
         b2 = joint["project_layer"]["bias"]
     else:   # share_embedding: output kernel == embedding table (V, inner).T
         assert "decoder" in params, (

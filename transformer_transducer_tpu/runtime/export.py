@@ -69,9 +69,12 @@ def model_dim(model, variables) -> int:
     """Encoder output dim, from the joint input kernel."""
     params = variables["params"]
     joint = params["joint"]
+
+    def in_dim(p):
+        return p["kernel_q" if "kernel_q" in p else "kernel"].shape[0]
     if "forward_layer" in joint:          # native concat joint
-        return joint["forward_layer"]["kernel"].shape[0] // 2
-    return joint["lin_enc"]["kernel"].shape[0]
+        return in_dim(joint["forward_layer"]) // 2
+    return in_dim(joint["lin_enc"])
 
 
 def load_exported(path: str):

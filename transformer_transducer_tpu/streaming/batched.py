@@ -83,6 +83,11 @@ class BatchedStreamingSession:
                 raise ValueError(
                     "incremental mode needs the native family's closed-form "
                     "banded rel-attention (streaming/incremental.py)")
+            if getattr(self.model, "quant", False):
+                raise ValueError(
+                    "incremental mode is float-only (its closed-form layer "
+                    "step reads float kernels); use window rounds "
+                    "(incremental=False) for int8 models")
             self._enc_stack = jax.device_put(
                 stack_encoder_layers(self.variables, self.model.enc[0]))
             self._decode = self._build_batched_chunk_decode()

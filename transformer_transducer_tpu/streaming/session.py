@@ -181,6 +181,11 @@ class StreamingSession:
                 "incremental mode needs the native family's closed-form "
                 "banded rel-attention (streaming/incremental.py); the "
                 "espnet variant keeps the halo window program")
+        if incremental and getattr(model, "quant", False):
+            raise ValueError(
+                "incremental mode is float-only (its closed-form layer step "
+                "reads float kernels); use the window program (incremental="
+                "False) for int8 models")
         from transformer_transducer_tpu.decoding.greedy import (
             predict_last_state)
         cap = cfg.label_history + 1
