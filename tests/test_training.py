@@ -350,3 +350,67 @@ def test_eval_sharded_over_mesh_matches_single_device(tmp_path):
         t_single.params, {k: jnp.asarray(v) for k, v in padded.items()}))
     assert lm.shape == (4,)
     np.testing.assert_allclose(lm, ls, rtol=2e-5, atol=1e-5)
+
+
+class _TruncatedLoader:
+    """Mimics DataLoader but stops after ``n`` batches — simulates a
+    preemption mid-epoch (the process dies between batches)."""
+
+    def __init__(self, inner, n):
+        self.inner, self.n = inner, n
+        self.epoch = 0
+        self.start_batch = 0
+
+    def __iter__(self):
+        self.inner.epoch = self.epoch
+        self.inner.start_batch = self.start_batch
+        for i, b in enumerate(self.inner):
+            if i >= self.n:
+                return
+            yield b
+
+
+def test_step_checkpoint_mid_epoch_exact_resume(corpus, tmp_path):
+    """Preemption-safe training: kill after batch 1 of epoch 0, resume from
+    the step_* checkpoint, and the final params are BIT-IDENTICAL to an
+    uninterrupted run — data order, SpecAugment RNG stream and step counters
+    all restored (training.save_every_steps)."""
+    root, vocab_path, csvs = corpus
+
+    def mkcfg(save_every):
+        cfg = tiny_train_config(root, vocab_path, csvs)
+        cfg.override("training.save_every_steps", save_every)
+        return cfg
+
+    # reference: uninterrupted 2-epoch run
+    ta = Trainer(mkcfg(0), exp_root=str(tmp_path / "ref"))
+    loader_a, _ = ta.make_loaders()
+    for epoch in range(2):
+        ta.train_epoch(epoch, loader_a)
+        ta.save(epoch)
+
+    # preempted run: one batch of epoch 0, then the process "dies"
+    exp_root = str(tmp_path / "preempt")
+    tb = Trainer(mkcfg(1), exp_root=exp_root)
+    loader_b, _ = tb.make_loaders()
+    tb.train_epoch(0, _TruncatedLoader(loader_b, 1))
+    step_ckpts = glob.glob(os.path.join(tb.exp_dir, "step_*"))
+    assert len(step_ckpts) == 1, step_ckpts
+    assert ckpt_lib.latest_checkpoint(tb.exp_dir) == step_ckpts[0]
+    del tb
+
+    # resume: finishes epoch 0 from batch 1, then epoch 1
+    tc = Trainer(mkcfg(0), mode="continue", exp_root=exp_root)
+    assert tc.start_epoch == 0 and tc._resume_batches == 1
+    loader_c, _ = tc.make_loaders()
+    for epoch in range(tc.start_epoch, 2):
+        tc.train_epoch(epoch, loader_c)
+        tc.save(epoch)
+
+    assert tc.global_step == ta.global_step
+    ref_leaves = jax.tree_util.tree_leaves(jax.device_get(ta.params))
+    res_leaves = jax.tree_util.tree_leaves(jax.device_get(tc.params))
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the epoch checkpoint pruned the step_* recovery artifact
+    assert not glob.glob(os.path.join(tc.exp_dir, "step_*"))

@@ -48,6 +48,11 @@ def main():
                         help="scan K optimizer updates inside one device "
                         "program (amortizes per-call dispatch latency; "
                         "same as --set training.steps_per_call=K)")
+    parser.add_argument("--save-steps", type=int, default=None,
+                        metavar="N", help="preemption-safe mid-epoch "
+                        "checkpoint every N optimizer updates (same as "
+                        "--set training.save_every_steps=N); -mode continue "
+                        "resumes exactly, mid-epoch")
     parser.add_argument("--set", action="append", default=[],
                         metavar="KEY=VALUE", help="config override (dotted key)")
     args = parser.parse_args()
@@ -59,6 +64,8 @@ def main():
     apply_overrides(cfg, args.set)
     if args.steps_per_call:
         cfg.override("training.steps_per_call", args.steps_per_call)
+    if args.save_steps:
+        cfg.override("training.save_every_steps", args.save_steps)
     if args.pruned_range:
         cfg.override("training.loss_pruned_range", args.pruned_range)
 

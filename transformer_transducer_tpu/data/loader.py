@@ -29,6 +29,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch_batches
         self.epoch = 0
+        # one-shot batch offset for mid-epoch resume (preemption-safe
+        # checkpoints): the next __iter__ starts at this batch index of the
+        # deterministic (seed + epoch) order, then the offset resets.
+        self.start_batch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -47,6 +51,8 @@ class DataLoader:
         if hasattr(self.dataset, "loader_epoch"):
             self.dataset.loader_epoch = self.epoch
         n_batches = len(self)
+        first_batch = min(self.start_batch, n_batches)
+        self.start_batch = 0
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()   # consumer abandoned the iterator
@@ -67,7 +73,7 @@ class DataLoader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_batches):
+                    for b in range(first_batch, n_batches):
                         if stop.is_set():
                             return
                         ids = order[b * self.batch_size:

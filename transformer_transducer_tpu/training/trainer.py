@@ -114,6 +114,12 @@ class Trainer:
             begin_to_adjust=config.optim.begin_to_adjust_lr or 0)
         self.start_epoch = 0
         self.global_step = 0
+        # training.save_every_steps: mid-epoch step_* checkpoints every N
+        # optimizer updates (preemption-safe resume; beyond-reference — the
+        # reference can only recover at epoch granularity, train.py:249-250)
+        self.save_every_steps = int(config.training.save_every_steps or 0)
+        self._last_step_save = 0
+        self._resume_batches = 0
         self._maybe_load()
 
         # training.specaug: None/absent -> on (reference default: SpecAugment
@@ -169,8 +175,18 @@ class Trainer:
             self.start_epoch = meta.get("epoch", 0) + 1
             self.global_step = meta.get("step", 0)
             self.lr_ctl.lr = meta.get("lr", self.lr_ctl.lr)
-            self.logger.info("Continue from %s (epoch %d, step %d)", path,
-                             self.start_epoch, self.global_step)
+            if "mid_epoch" in meta:   # step_* checkpoint: resume IN-epoch
+                self.start_epoch = int(meta["mid_epoch"])
+                self._resume_batches = int(meta.get("batches_done", 0))
+                self.rng = jnp.asarray(meta["rng"], jnp.uint32)
+                self._last_step_save = self.global_step
+                self.logger.info(
+                    "Continue mid-epoch from %s (epoch %d, batch %d, "
+                    "step %d)", path, self.start_epoch,
+                    self._resume_batches, self.global_step)
+            else:
+                self.logger.info("Continue from %s (epoch %d, step %d)",
+                                 path, self.start_epoch, self.global_step)
         elif tcfg.load_model:
             self.params, _, _ = ckpt_lib.load_checkpoint(tcfg.load_model,
                                                          self.params)
@@ -236,6 +252,18 @@ class Trainer:
         t0 = time.perf_counter()
         k = self.steps_per_call
         pending = []
+        # deterministic order per epoch number + mid-epoch resume offset:
+        # the loader re-derives the SAME shuffle for this epoch (seed +
+        # epoch) and skips the batches a step_* checkpoint already consumed
+        loader.epoch = epoch
+        skip = self._resume_batches
+        self._resume_batches = 0
+        loader.start_batch = skip
+
+        def maybe_step_save():
+            if (self.save_every_steps and self.global_step -
+                    self._last_step_save >= self.save_every_steps):
+                self.save_step(epoch, skip + steps)
 
         def run_single(batch):
             nonlocal total_loss, steps
@@ -249,6 +277,7 @@ class Trainer:
             total_loss += loss
             self._record_step(epoch, loss, float(m["grad_norm"]),
                               total_loss, steps, t0)
+            maybe_step_save()
 
         def run_group(group):
             nonlocal total_loss, steps
@@ -266,6 +295,9 @@ class Trainer:
                 total_loss += float(loss)
                 self._record_step(epoch, float(loss), float(norm),
                                   total_loss, steps, t0)
+            maybe_step_save()   # at group granularity: the scanned K
+                                # updates share one rng split, so resume
+                                # points must align with group boundaries
 
         for batch in loader:
             if k <= 1:
@@ -385,7 +417,32 @@ class Trainer:
         ckpt_lib.save_checkpoint(path, self.params, self.opt_state,
                                  epoch=epoch, step=self.global_step,
                                  extra={"lr": self.lr_ctl.lr})
+        # step_* recovery artifacts are redundant once the epoch lands
+        ckpt_lib.prune_step_checkpoints(self.exp_dir)
         self.logger.info("Epoch %d checkpoint saved to %s", epoch, path)
+
+    def save_step(self, epoch: int, batches_done: int):
+        """Mid-epoch preemption-safe checkpoint (``step_<global_step>``).
+
+        Carries everything an exact in-epoch resume needs: params +
+        optimizer state + the data position (epoch, batches consumed of the
+        deterministic per-epoch shuffle) + the live RNG key (SpecAugment
+        stream).  ``-mode continue`` restores all of it and the rerun is
+        step-for-step identical to an uninterrupted run
+        (``tests/test_training.py``).  Only the newest step checkpoint is
+        kept."""
+        path = os.path.join(self.exp_dir, f"step_{self.global_step}")
+        ckpt_lib.save_checkpoint(
+            path, self.params, self.opt_state,
+            # "epoch": last COMPLETED epoch, consistent with epoch_* metas
+            epoch=epoch - 1, step=self.global_step,
+            extra={"lr": self.lr_ctl.lr, "mid_epoch": epoch,
+                   "batches_done": int(batches_done),
+                   "rng": np.asarray(jax.device_get(self.rng)).tolist()})
+        ckpt_lib.prune_step_checkpoints(self.exp_dir, keep=path)
+        self._last_step_save = self.global_step
+        self.logger.info("Step checkpoint saved to %s (epoch %d, batch %d)",
+                         path, epoch, batches_done)
 
     def profile_epoch(self, epoch: int, loader, trace_dir: str) -> float:
         """One training epoch under ``jax.profiler.trace`` — writes a

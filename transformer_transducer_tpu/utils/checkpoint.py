@@ -85,12 +85,40 @@ def load_checkpoint(path: str, params_template: Dict,
 
 
 def latest_checkpoint(exp_dir: str) -> Optional[str]:
-    """Newest ``epoch_*`` checkpoint directory under ``exp_dir``, or None."""
+    """Newest checkpoint directory under ``exp_dir`` by global step, or None.
+
+    Both ``epoch_*`` (end-of-epoch) and ``step_*`` (mid-epoch,
+    preemption-safe; ``training.save_every_steps``) checkpoints count; on a
+    step tie the epoch checkpoint wins (it additionally carries the decayed
+    next-epoch LR)."""
     if not os.path.isdir(exp_dir):
         return None
-    cands = [d for d in os.listdir(exp_dir) if d.startswith("epoch_")
-             and os.path.exists(os.path.join(exp_dir, d, "meta.json"))]
-    if not cands:
-        return None
-    cands.sort(key=lambda d: int(d.split("_")[1]))
-    return os.path.join(exp_dir, cands[-1])
+    best = None           # (step, is_epoch, path)
+    for d in os.listdir(exp_dir):
+        if not (d.startswith("epoch_") or d.startswith("step_")):
+            continue
+        meta_path = os.path.join(exp_dir, d, "meta.json")
+        if not os.path.exists(meta_path):
+            continue
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        key = (int(meta.get("step", 0)), d.startswith("epoch_"),
+               os.path.join(exp_dir, d))
+        if best is None or key > best:
+            best = key
+    return best[2] if best else None
+
+
+def prune_step_checkpoints(exp_dir: str, keep: Optional[str] = None) -> None:
+    """Delete ``step_*`` checkpoint directories except ``keep`` (a path).
+
+    Mid-epoch checkpoints are recovery artifacts, not history — the trainer
+    keeps only the newest one and drops them all once the epoch checkpoint
+    lands."""
+    import shutil
+    if not os.path.isdir(exp_dir):
+        return
+    for d in os.listdir(exp_dir):
+        path = os.path.join(exp_dir, d)
+        if d.startswith("step_") and path != keep:
+            shutil.rmtree(path, ignore_errors=True)
