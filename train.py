@@ -48,6 +48,11 @@ def main():
                         help="scan K optimizer updates inside one device "
                         "program (amortizes per-call dispatch latency; "
                         "same as --set training.steps_per_call=K)")
+    parser.add_argument("--nan-guard", action="store_true",
+                        help="skip optimizer updates whose loss/grad-norm "
+                        "is non-finite (inside the compiled step); abort "
+                        "after training.max_skipped_steps consecutive skips "
+                        "(same as --set training.nan_guard=true)")
     parser.add_argument("--save-steps", type=int, default=None,
                         metavar="N", help="preemption-safe mid-epoch "
                         "checkpoint every N optimizer updates (same as "
@@ -68,6 +73,8 @@ def main():
         cfg.override("training.save_every_steps", args.save_steps)
     if args.pruned_range:
         cfg.override("training.loss_pruned_range", args.pruned_range)
+    if args.nan_guard:
+        cfg.override("training.nan_guard", True)
 
     trainer = Trainer(cfg, mode=args.mode, log_file=args.log,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

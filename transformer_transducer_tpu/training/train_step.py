@@ -53,6 +53,14 @@ class TrainStepConfig:
     # auxiliary linearized-joint NLL weight in the pruned loss (k2's
     # simple-loss term; keeps the corridor estimate aligned)
     loss_simple_scale: float = 0.25
+    # failure detection: when the loss or grad norm is non-finite, keep
+    # params AND optimizer state unchanged (the bad batch is skipped inside
+    # the compiled program — no host round-trip) and report it in
+    # metrics["skipped"].  Off by default: with finite numbers the guarded
+    # step is bit-identical to the unguarded one, but it adds a select per
+    # parameter leaf.  (Beyond reference: a NaN there poisons training
+    # silently, train.py:31-65.)
+    nan_guard: bool = False
 
 
 def make_loss_fn(model, cfg: TrainStepConfig,
@@ -121,9 +129,20 @@ def make_train_step(model: Transducer, tx: optax.GradientTransformation,
     def step(params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         grad_norm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "grad_norm": grad_norm}
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        if cfg.nan_guard:
+            # select, don't branch: lax.cond would still be fine, but a
+            # per-leaf where keeps the program shape identical to the
+            # unguarded step (same fusion, same memory plan)
+            ok = jnp.logical_and(jnp.isfinite(loss), jnp.isfinite(grad_norm))
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+            new_params = keep(new_params, params)
+            new_opt_state = keep(new_opt_state, opt_state)
+            metrics["skipped"] = (~ok).astype(jnp.int32)
+        return new_params, new_opt_state, metrics
 
     return step
 

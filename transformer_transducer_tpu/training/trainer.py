@@ -135,12 +135,19 @@ class Trainer:
         # transducer loss (ops/rnnt_loss_pruned.py); absent = full loss.
         pr_ = config.training.loss_pruned_range
         ss_ = config.training.loss_simple_scale
+        # training.nan_guard: skip (inside the compiled step) any update
+        # whose loss/grad-norm is non-finite; abort after
+        # training.max_skipped_steps consecutive skips (default 25) — a
+        # stream of NaNs means divergence, not one bad batch.
         self.step_cfg = TrainStepConfig(compute_dtype=compute_dtype,
                                         specaug=True if sa is None else bool(sa),
                                         loss_remat=True if lr_ is None else bool(lr_),
                                         loss_pruned_range=int(pr_) if pr_ else None,
                                         loss_simple_scale=0.25 if ss_ is None
-                                        else float(ss_))
+                                        else float(ss_),
+                                        nan_guard=bool(config.training.nan_guard))
+        self.max_skipped_steps = int(config.training.max_skipped_steps or 25)
+        self._consecutive_skips = 0
         self.train_step = compile_train_step(
             self.model, self.tx, self.mesh, self.params, self.opt_state,
             self.step_cfg)
@@ -247,6 +254,26 @@ class Trainer:
                 self.global_step, lr, grad_norm,
                 loss, total_loss / steps, steps / dt)
 
+    def _note_skips(self, skips) -> None:
+        """Failure detection bookkeeping for nan_guard'd steps: warn per
+        skipped update, hard-fail after ``max_skipped_steps`` consecutive
+        skips (persistent non-finite losses are divergence, and silently
+        treading water forever would look like training)."""
+        for s in skips:
+            if int(s):
+                self._consecutive_skips += 1
+                self.logger.warning(
+                    "non-finite loss/grad at step %d — update skipped "
+                    "(%d consecutive)", self.global_step,
+                    self._consecutive_skips)
+                if self._consecutive_skips >= self.max_skipped_steps:
+                    raise RuntimeError(
+                        f"{self._consecutive_skips} consecutive non-finite "
+                        f"training steps (training.max_skipped_steps="
+                        f"{self.max_skipped_steps}): training has diverged")
+            else:
+                self._consecutive_skips = 0
+
     def train_epoch(self, epoch: int, loader) -> float:
         total_loss, steps = 0.0, 0
         t0 = time.perf_counter()
@@ -277,6 +304,8 @@ class Trainer:
             total_loss += loss
             self._record_step(epoch, loss, float(m["grad_norm"]),
                               total_loss, steps, t0)
+            if "skipped" in m:
+                self._note_skips([int(m["skipped"])])
             maybe_step_save()
 
         def run_group(group):
@@ -295,6 +324,8 @@ class Trainer:
                 total_loss += float(loss)
                 self._record_step(epoch, float(loss), float(norm),
                                   total_loss, steps, t0)
+            if "skipped" in ms:
+                self._note_skips(np.asarray(ms["skipped"]).tolist())
             maybe_step_save()   # at group granularity: the scanned K
                                 # updates share one rng split, so resume
                                 # points must align with group boundaries
