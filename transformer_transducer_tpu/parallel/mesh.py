@@ -29,6 +29,20 @@ MODEL_AXIS = "model"
 _log = logging.getLogger("transformer_transducer_tpu")
 
 
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """``shard_map`` with replication checking off, across jax versions:
+    the public ``jax.shard_map`` (jax >= 0.6) calls the knob ``check_vma``;
+    the older experimental API calls it ``check_rep``."""
+    try:
+        from jax import shard_map as sm
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except (ImportError, TypeError):  # pragma: no cover - old jax
+        from jax.experimental.shard_map import shard_map as sm
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (data, model) mesh over available devices.

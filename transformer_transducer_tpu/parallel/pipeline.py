@@ -37,10 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # moved to jax.sharding in newer jax
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.sharding import shard_map
+from transformer_transducer_tpu.parallel.mesh import shard_map_compat
 
 from transformer_transducer_tpu.models.attention import TransformerXLLayer
 
@@ -144,13 +141,13 @@ def encode_pipelined(model, variables, x: jax.Array, mesh: Mesh,
 
     if attn_mask is None:
         # in_specs can't describe a None leaf — bind it statically
-        run = shard_map(lambda sp, mi: fn(sp, mi, None), mesh=mesh,
+        run = shard_map_compat(lambda sp, mi: fn(sp, mi, None), mesh=mesh,
                         in_specs=(P(axis), P()),
-                        out_specs=P(axis), check_rep=False)
+                        out_specs=P(axis))
         out = run(stacked, micro)
     else:
-        run = shard_map(fn, mesh=mesh,
+        run = shard_map_compat(fn, mesh=mesh,
                         in_specs=(P(axis), P(), P()),
-                        out_specs=P(axis), check_rep=False)
+                        out_specs=P(axis))
         out = run(stacked, micro, attn_mask)
     return out[-1].reshape(b, t, d)

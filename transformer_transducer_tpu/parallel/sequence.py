@@ -28,10 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # moved to jax.sharding in newer jax
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.sharding import shard_map
+from transformer_transducer_tpu.parallel.mesh import shard_map_compat
 
 from transformer_transducer_tpu.models.attention import TransformerXLLayer
 from transformer_transducer_tpu.ops.masks import context_mask
@@ -124,9 +121,9 @@ def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
             h = jax.lax.dynamic_slice_in_dim(out, off, shard, axis=1)
         return h
 
-    run = shard_map(fn, mesh=mesh,
+    run = shard_map_compat(fn, mesh=mesh,
                     in_specs=(P(), P(None, axis, None)),
-                    out_specs=P(None, axis, None), check_rep=False)
+                    out_specs=P(None, axis, None))
     return run(enc_params, x)
 
 

@@ -108,6 +108,20 @@ class Trainer:
 
         self.tx = optim_lib.build_optimizer(
             config.optim, max_grad_norm=config.training.max_grad_norm)
+        # training.grad_accum_steps: average grads over K batches per
+        # optimizer update (optax.MultiSteps) — K× the effective batch at
+        # the same per-step memory.  One K-batch update equals the
+        # unaccumulated step on the concatenated batch (tested), because
+        # the loss is a batch mean and grad-clip/LR apply to the averaged
+        # grads at update time.  Beyond reference (whose effective batch is
+        # capped by GPU memory, config/aishell.yaml batch_size).
+        ga = int(config.training.grad_accum_steps or 1)
+        if ga > 1:
+            import optax
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=ga).gradient_transformation()
+            self.logger.info("Gradient accumulation: %d batches per update",
+                             ga)
         self.opt_state = self.tx.init(self.params)
         self.lr_ctl = optim_lib.LRController(
             lr=config.optim.lr, decay_ratio=config.optim.decay_ratio or 1.0,
