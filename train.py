@@ -26,6 +26,22 @@ def main():
                         help="tensor-parallel mesh axis size")
     parser.add_argument("--n_data", type=int, default=None,
                         help="data-parallel mesh axis size (default: all devices)")
+    parser.add_argument("--n_pipe", type=int, default=None,
+                        help="pipeline-parallel stages: the encoder's layer "
+                        "stack splits over a 'pipe' mesh axis (GPipe "
+                        "microbatch schedule inside the train step; encoder "
+                        "params+optimizer moments live pipe-sharded). Same "
+                        "as --set parallel.n_pipe=N")
+    parser.add_argument("--pipe-micro", type=int, default=None,
+                        help="microbatches for --n_pipe (default 2*n_pipe); "
+                        "same as --set parallel.pipe_micro=M")
+    parser.add_argument("--n_seq", type=int, default=None,
+                        help="sequence-parallel shards for --banded "
+                        "training: the encoder time axis splits over a "
+                        "'seq' mesh axis with per-layer halo exchange "
+                        "(trains the pinned-window banded function the "
+                        "streaming session decodes with). Same as --set "
+                        "parallel.n_seq=N")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers in backward")
     parser.add_argument("--flash", action="store_true",
@@ -79,7 +95,9 @@ def main():
     trainer = Trainer(cfg, mode=args.mode, log_file=args.log,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                       n_data=args.n_data, n_model=args.n_model,
-                      remat=args.remat, flash=args.flash, banded=args.banded)
+                      remat=args.remat, flash=args.flash, banded=args.banded,
+                      n_pipe=args.n_pipe, pipe_micro=args.pipe_micro,
+                      n_seq=args.n_seq)
     trainer.logger.info("JAX backend: %s, devices: %s", jax.default_backend(),
                         jax.devices())
     trainer.fit(epochs=args.epochs, augment=args.augment,

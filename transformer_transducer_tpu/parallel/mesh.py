@@ -25,6 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"    # pipeline stages (parallel/pipeline.py)
+SEQ_AXIS = "seq"      # banded sequence shards (parallel/sequence.py)
 
 _log = logging.getLogger("transformer_transducer_tpu")
 
@@ -44,32 +46,47 @@ def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over available devices.
+              devices: Optional[Sequence] = None, *,
+              n_pipe: int = 1, n_seq: int = 1) -> Mesh:
+    """Build a (data, model[, pipe][, seq]) mesh over available devices.
 
     Defaults to all devices on the data axis.  Oversized requests degrade
-    gracefully: if ``n_data * n_model`` exceeds the pool, ``n_data`` shrinks
+    gracefully: if the axis product exceeds the pool, ``n_data`` shrinks
     to the largest fit (with a warning) rather than crashing — an odd pool
-    just leaves its remainder devices unused.  ``n_model`` is never shrunk
-    (tensor-parallel degree changes parameter layouts, so it must be an
-    explicit choice); a pool smaller than ``n_model`` still raises.
+    just leaves its remainder devices unused.  ``n_model``/``n_pipe``/
+    ``n_seq`` are never shrunk (their degrees change parameter/activation
+    layouts, so they must be explicit choices); a pool smaller than their
+    product still raises.
+
+    The ``pipe`` (pipeline stages, ``parallel/pipeline.py``) and ``seq``
+    (banded sequence shards, ``parallel/sequence.py``) axes only appear
+    when requested >1, so existing 2-axis specs stay valid.
     """
     devices = list(devices if devices is not None else jax.devices())
-    if len(devices) < n_model:
-        raise ValueError(f"model axis {n_model} needs at least that many "
-                         f"devices, have {len(devices)}")
-    fit = len(devices) // n_model
+    fixed = n_model * max(1, n_pipe) * max(1, n_seq)
+    if len(devices) < fixed:
+        raise ValueError(f"model x pipe x seq axes need {fixed} devices, "
+                         f"have {len(devices)}")
+    fit = len(devices) // fixed
     if n_data is None:
         n_data = fit
-    elif n_data * n_model > len(devices):
+    elif n_data * fixed > len(devices):
         _log.warning("mesh %dx%d needs %d devices, have %d; shrinking the "
                      "data axis to %d (%d device(s) left unused)",
-                     n_data, n_model, n_data * n_model, len(devices), fit,
-                     len(devices) - fit * n_model)
+                     n_data, fixed, n_data * fixed, len(devices), fit,
+                     len(devices) - fit * fixed)
         n_data = fit
-    need = n_data * n_model
-    grid = np.asarray(devices[:need]).reshape(n_data, n_model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    shape = [n_data, n_model]
+    axes = [DATA_AXIS, MODEL_AXIS]
+    if n_pipe > 1:
+        shape.append(n_pipe)
+        axes.append(PIPE_AXIS)
+    if n_seq > 1:
+        shape.append(n_seq)
+        axes.append(SEQ_AXIS)
+    need = int(np.prod(shape))
+    grid = np.asarray(devices[:need]).reshape(shape)
+    return Mesh(grid, tuple(axes))
 
 
 def single_device_mesh() -> Mesh:

@@ -55,7 +55,10 @@ def pinned_window_len(left: int, shard: int, right: int) -> int:
 def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
                      left: int, right: int,
                      window_len: Optional[int] = None,
-                     axis: str = SEQ_AXIS) -> jax.Array:
+                     axis: str = SEQ_AXIS,
+                     data_axis: Optional[str] = None,
+                     deterministic: bool = True,
+                     dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Banded encode of ``x`` (B, T, D) with T sharded over ``mesh[axis]``.
 
     Per layer, each shard ppermutes its last ``left`` frames to the right
@@ -63,7 +66,14 @@ def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
     [left-halo | local | right-halo] into a ``window_len`` buffer (the
     first/last shard drop the halo that would wrap around the sequence),
     runs the layer under ``context_mask(window_len, left, right)`` and
-    keeps the local frames.  Inference path (deterministic; dropout off).
+    keeps the local frames.
+
+    Composition with data parallelism (``parallel.n_seq`` in the trainer):
+    pass ``data_axis`` and the batch dim additionally shards over the
+    mesh's data axis.  Training mode: ``deterministic=False`` plus a
+    ``dropout_rng`` applies per-(layer, shard) folded dropout keys —
+    different masks than the unpipelined encoder (any iid masks are
+    equally valid), so parity tests run with dropout 0.
 
     Returns the (B, T, D) encoding, logically sharded on T.
     """
@@ -81,18 +91,28 @@ def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
     if w < left + shard + right:
         raise ValueError(f"window_len {w} < left+shard+right "
                          f"{left + shard + right}")
+    if not deterministic and dropout_rng is None:
+        raise ValueError("deterministic=False requires a dropout_rng")
     mask = context_mask(w, left, right)
     layer_mod = TransformerXLLayer(
         k_len=e[1], n_head=e[2], d_model=e[3], d_head=e[4], d_inner=e[5],
-        dropout=0.0, compute_dtype=model.compute_dtype)
+        dropout=model.dropout if not deterministic else 0.0,
+        compute_dtype=model.compute_dtype)
     params = variables["params"] if "params" in variables else variables
     enc_params = params["encoder"]
+    n_data = mesh.shape.get(data_axis, 1) if data_axis else 1
+    has_rng = dropout_rng is not None
 
     send_right = [(j, (j + 1) % n) for j in range(n)]
     send_left = [(j, (j - 1) % n) for j in range(n)]
 
-    def fn(enc_params, xs):
+    def fn(enc_params, xs, rng):
         idx = jax.lax.axis_index(axis)
+        bl = xs.shape[0]   # local batch rows (sharded when data_axis set)
+        if has_rng:
+            rng = jax.random.fold_in(rng, idx)
+            if data_axis is not None and n_data > 1:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         # first shard: local frames sit at window position 0 (no left
         # halo); interior shards at position `left`
         off = jnp.where(idx == 0, 0, left)
@@ -103,11 +123,11 @@ def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
             if n > 1 and left > 0:
                 lh = jax.lax.ppermute(h[:, shard - left:], axis, send_right)
             else:
-                lh = jnp.zeros((b, left, d), h.dtype)
+                lh = jnp.zeros((bl, left, d), h.dtype)
             if n > 1 and right > 0:
                 rh = jax.lax.ppermute(h[:, :right], axis, send_left)
             else:
-                rh = jnp.zeros((b, right, d), h.dtype)
+                rh = jnp.zeros((bl, right, d), h.dtype)
             # the last shard's right halo wrapped around from shard 0:
             # past-the-end frames are zero rows (streaming tail convention)
             rh = jnp.where(idx == n - 1, 0.0, rh)
@@ -116,15 +136,28 @@ def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
             # pad to the pinned window length
             body = jnp.pad(body, ((0, 0), (0, left + (w - (left + shard + right))), (0, 0)))
             window = jax.lax.dynamic_slice_in_dim(body, left - off, w, axis=1)
-            out = layer_mod.apply({"params": enc_params[f"layer_{i}"]},
-                                  window, mask, True)
+            lp = {"params": enc_params[f"layer_{i}"]}
+            if deterministic:
+                out = layer_mod.apply(lp, window, mask, True)
+            else:
+                out = layer_mod.apply(lp, window, mask, False,
+                                      rngs={"dropout": jax.random.fold_in(rng, i)})
             h = jax.lax.dynamic_slice_in_dim(out, off, shard, axis=1)
         return h
 
-    run = shard_map_compat(fn, mesh=mesh,
-                    in_specs=(P(), P(None, axis, None)),
-                    out_specs=P(None, axis, None))
-    return run(enc_params, x)
+    xspec = P(data_axis if data_axis is not None and n_data > 1 else None,
+              axis, None)
+    operands = [enc_params, x]
+    in_specs = [P(), xspec]
+    if has_rng:
+        operands.append(dropout_rng)
+        in_specs.append(P())
+    wrapper = (fn if has_rng
+               else (lambda ep, xs: fn(ep, xs, None)))
+    run = shard_map_compat(wrapper, mesh=mesh,
+                    in_specs=tuple(in_specs),
+                    out_specs=xspec)
+    return run(*operands)
 
 
 def encode_banded_sp_oracle(model, variables, x: jax.Array, n: int,

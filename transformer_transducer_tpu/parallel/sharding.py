@@ -18,7 +18,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from transformer_transducer_tpu.parallel.mesh import MODEL_AXIS
+from transformer_transducer_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
 
 
 # column-parallel projections (output dim sharded): native QKV; espnet
@@ -67,12 +67,56 @@ def param_specs(params: Any, tensor_parallel: bool = True) -> Any:
 
 
 def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = None) -> Any:
-    """NamedSharding pytree; TP rules activate when the model axis is >1."""
+    """NamedSharding pytree; TP rules activate when the model axis is >1,
+    and — when the mesh carries a ``pipe`` axis — a stacked encoder tree
+    (``parallel.pipeline.stack_encoder_layers`` layout, trainer pp mode)
+    shards its leading layer axis over the pipeline stages, so each stage
+    device materializes only its own layers' parameters (and, through
+    :func:`opt_state_shardings`, their optimizer moments)."""
     if tensor_parallel is None:
         tensor_parallel = mesh.shape.get(MODEL_AXIS, 1) > 1
-    specs = param_specs(params, tensor_parallel)
+    if mesh.shape.get(PIPE_AXIS, 1) > 1:
+        if tensor_parallel:
+            raise NotImplementedError(
+                "pipeline parallelism composes with the data axis only; "
+                "set n_model=1 when n_pipe>1")
+
+        def pp_spec(path, leaf):
+            name = getattr(path[0], "key", getattr(path[0], "name", ""))
+            return P(PIPE_AXIS) if name == "encoder" else P()
+
+        specs = jax.tree_util.tree_map_with_path(pp_spec, params)
+    else:
+        specs = param_specs(params, tensor_parallel)
     return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
                                   is_leaf=lambda x: isinstance(x, P))
+
+
+def opt_state_shardings(opt_state: Any, params: Any, pspecs: Any,
+                        mesh: Mesh) -> Any:
+    """Shardings for an optax state: subtrees that mirror the param tree
+    (momenta, grad accumulators, ...) inherit the param shardings; every
+    other leaf (step counters, empty states) is replicated.  Keeps
+    tensor-parallel / pipeline-sharded moments co-located with their
+    parameters instead of replicating them on every device."""
+    ptree = jax.tree_util.tree_structure(params)
+    repl = NamedSharding(mesh, P())
+
+    def walk(node):
+        try:
+            if jax.tree_util.tree_structure(node) == ptree:
+                return pspecs
+        except Exception:   # unhashable/odd nodes: fall through
+            pass
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if hasattr(node, "_fields"):          # NamedTuple (optax states)
+            return type(node)(*(walk(x) for x in node))
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(x) for x in node)
+        return repl
+
+    return walk(opt_state)
 
 
 def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = None) -> Any:

@@ -61,13 +61,78 @@ class TrainStepConfig:
     # parameter leaf.  (Beyond reference: a NaN there poisons training
     # silently, train.py:31-65.)
     nan_guard: bool = False
+    # > 1 = pipeline parallelism (parallel.n_pipe): the encoder params
+    # enter STACKED (parallel.pipeline.stack_encoder_layers layout, layer
+    # axis sharded over the mesh's 'pipe' axis) and the encoder forward /
+    # backward run as a GPipe microbatch schedule inside the step.  Native
+    # family only; requires the mesh from make_mesh(..., n_pipe=n).
+    n_pipe: int = 1
+    # microbatches for the pipeline schedule (0 -> 2 * n_pipe); bubble
+    # fraction = (n_pipe - 1) / (pipe_micro + n_pipe - 1)
+    pipe_micro: int = 0
+    # > 1 = sequence parallelism (parallel.n_seq) for BANDED training
+    # (model.band must be set): the encoder time axis shards over the
+    # mesh's 'seq' axis with per-layer ppermute halo exchange.  The trained
+    # function is the PINNED-WINDOW banded encoder (sp_window rows — the
+    # same semantics the streaming session decodes with), invariant in the
+    # shard count but not bit-equal to the full-T banded path, whose
+    # rel-position tables are sliced at T instead (DESIGN.md §2).
+    n_seq: int = 1
+    # pinned window length for n_seq > 1 (0 -> pinned_window_len default)
+    sp_window: int = 0
 
 
-def make_loss_fn(model, cfg: TrainStepConfig,
-                 reduction: str = "mean") -> Callable:
+def make_loss_fn(model, cfg: TrainStepConfig, reduction: str = "mean",
+                 mesh=None) -> Callable:
     from transformer_transducer_tpu.models.espnet_variant import (
         EspnetTransducer, joint_params_from_espnet_variables)
     is_espnet = isinstance(model, EspnetTransducer)
+    if cfg.n_pipe > 1 or cfg.n_seq > 1:
+        if is_espnet:
+            raise NotImplementedError(
+                "pipeline/sequence parallelism covers the native family; "
+                "the espnet family trains dp x tp")
+        if mesh is None:
+            raise ValueError("n_pipe/n_seq > 1 needs the training mesh")
+    if cfg.n_pipe > 1 and cfg.n_seq > 1:
+        raise ValueError("n_pipe and n_seq both split the encoder; pick one")
+    if cfg.n_seq > 1 and model.band is None:
+        raise ValueError("sequence parallelism needs banded training "
+                         "(--banded / model.enc.left_context+right_context)")
+
+    def encode_both_parallel(params, inputs, targets, rng, train):
+        """Native-family encode_both with the audio encoder routed through
+        the pp (GPipe) or sp (halo-exchange) SPMD program; label encoder
+        and joint stay on the dp x (mesh-implied) path.  Mirrors
+        Transducer.encode_both (models/transducer.py)."""
+        from transformer_transducer_tpu.models.transducer import Transducer
+        from transformer_transducer_tpu.ops.masks import look_ahead_mask
+        enc_rng, dec_rng = jax.random.split(rng)
+        if cfg.n_pipe > 1:
+            from transformer_transducer_tpu.parallel.pipeline import (
+                encoder_layer_module, encode_pipelined_stacked)
+            layer_mod = encoder_layer_module(model)
+            enc = encode_pipelined_stacked(
+                layer_mod, params["encoder"], inputs, mesh,
+                n_micro=cfg.pipe_micro or 2 * cfg.n_pipe, band=model.band,
+                deterministic=not train,
+                dropout_rng=enc_rng if train else None,
+                data_axis=mesh_lib.DATA_AXIS)
+        else:
+            from transformer_transducer_tpu.parallel.sequence import (
+                encode_banded_sp)
+            enc = encode_banded_sp(
+                model, {"params": params}, inputs, mesh,
+                left=model.band[0], right=model.band[1],
+                window_len=cfg.sp_window or None,
+                data_axis=mesh_lib.DATA_AXIS, deterministic=not train,
+                dropout_rng=enc_rng if train else None)
+        prefixed = jnp.pad(targets, ((0, 0), (1, 0)))   # blank prefix
+        label_mask = look_ahead_mask(prefixed.shape[1])
+        dec = model.apply({"params": params}, prefixed, label_mask,
+                          not train, rngs={"dropout": dec_rng} if train else {},
+                          method="predict")
+        return enc, dec
 
     def loss_fn(params, batch: Dict[str, jax.Array], rng: jax.Array,
                 train: bool = True) -> jax.Array:
@@ -84,6 +149,10 @@ def make_loss_fn(model, cfg: TrainStepConfig,
                                    batch["inputs_length"], batch["targets"],
                                    batch["targets_length"], **common)
             jp = joint_params_from_espnet_variables(params)
+        elif cfg.n_pipe > 1 or cfg.n_seq > 1:
+            enc, dec = encode_both_parallel(params, inputs,
+                                            batch["targets"], rng, train)
+            jp = joint_params_from_variables(params)
         else:
             enc, dec = model.apply({"params": params}, inputs,
                                    batch["targets"], **common)
@@ -120,11 +189,12 @@ def make_loss_fn(model, cfg: TrainStepConfig,
 
 
 def make_train_step(model: Transducer, tx: optax.GradientTransformation,
-                    cfg: Optional[TrainStepConfig] = None) -> Callable:
+                    cfg: Optional[TrainStepConfig] = None,
+                    mesh=None) -> Callable:
     """Returns ``step(params, opt_state, batch, rng) ->
     (params, opt_state, metrics)`` (un-jitted; see :func:`compile_train_step`)."""
     cfg = cfg or TrainStepConfig()
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
 
     def step(params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
@@ -152,12 +222,12 @@ def compile_train_step(model: Transducer, tx: optax.GradientTransformation,
                        cfg: Optional[TrainStepConfig] = None,
                        donate: bool = True) -> Callable:
     """jit the train step over a mesh: batch sharded on 'data', parameters
-    replicated (or tensor-parallel when the 'model' axis is >1)."""
-    step = make_train_step(model, tx, cfg)
+    replicated (or tensor-parallel when the 'model' axis is >1, or
+    pipe-stacked when the 'pipe' axis is); optimizer moments follow their
+    parameters' shardings."""
+    step = make_train_step(model, tx, cfg, mesh=mesh)
     pspecs = sharding_lib.param_shardings(params, mesh)
-    ospecs = jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, P()), opt_state,
-        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    ospecs = sharding_lib.opt_state_shardings(opt_state, params, pspecs, mesh)
     bspec = mesh_lib.batch_sharding(mesh)
     rspec = mesh_lib.replicated(mesh)
     return jax.jit(
@@ -183,7 +253,7 @@ def compile_train_scan(model: Transducer, tx: optax.GradientTransformation,
     Returns ``scan_step(params, opt_state, batches, rng) ->
     (params, opt_state, metrics)`` where each metric is stacked (K,).
     """
-    step = make_train_step(model, tx, cfg)
+    step = make_train_step(model, tx, cfg, mesh=mesh)
 
     def multi(params, opt_state, batches, rngs):
         def body(carry, xs):
@@ -194,9 +264,7 @@ def compile_train_scan(model: Transducer, tx: optax.GradientTransformation,
         return p, o, ms
 
     pspecs = sharding_lib.param_shardings(params, mesh)
-    ospecs = jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, P()), opt_state,
-        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    ospecs = sharding_lib.opt_state_shardings(opt_state, params, pspecs, mesh)
     bspec = mesh_lib.stacked_batch_sharding(mesh)
     rspec = mesh_lib.replicated(mesh)
     jitted = jax.jit(multi,
@@ -229,7 +297,7 @@ def make_eval_loss_step(model: Transducer,
         # the pruned loss upper-bounds it by a band-dependent margin, which
         # would make dev losses incomparable across s_range settings
         cfg = dataclasses.replace(cfg, loss_pruned_range=None)
-    loss_fn = make_loss_fn(model, cfg, reduction="none")
+    loss_fn = make_loss_fn(model, cfg, reduction="none", mesh=mesh)
 
     def eval_step(params, batch):
         return loss_fn(params, batch, jax.random.PRNGKey(0), train=False)

@@ -45,7 +45,10 @@ class Trainer:
                  log_file: str = "train.log", exp_root: str = "egs",
                  compute_dtype=jnp.float32, n_data: Optional[int] = None,
                  n_model: int = 1, remat: bool = False,
-                 flash: bool = False, banded: bool = False):
+                 flash: bool = False, banded: bool = False,
+                 n_pipe: Optional[int] = None,
+                 pipe_micro: Optional[int] = None,
+                 n_seq: Optional[int] = None):
         self.config = config
         self.mode = mode
         self.exp_dir = os.path.join(exp_root, config.data.name or "exp",
@@ -73,13 +76,56 @@ class Trainer:
                                           compute_dtype=compute_dtype,
                                           remat=remat, flash=flash,
                                           banded=banded)
+        # parallel.{n_pipe, pipe_micro, n_seq, sp_window} config block
+        # (CLI flags win): pipeline / sequence parallelism for the encoder,
+        # composed with dp on one mesh.  Validated here so misconfiguration
+        # fails at construction, not at first compile.
+        pcfg = config.parallel or Config()
+        self.n_pipe = int(n_pipe if n_pipe is not None
+                          else (pcfg.n_pipe or 1))
+        self.pipe_micro = int(pipe_micro if pipe_micro is not None
+                              else (pcfg.pipe_micro or 0)) or 2 * self.n_pipe
+        self.n_seq = int(n_seq if n_seq is not None else (pcfg.n_seq or 1))
+        self.sp_window = int(pcfg.sp_window or 0)
+        batch = config.data.batch_size or 1
+        if self.n_pipe > 1:
+            if self.is_espnet:
+                raise NotImplementedError("parallel.n_pipe covers the "
+                                          "native family (espnet trains dp x tp)")
+            if n_model > 1:
+                raise NotImplementedError("n_pipe composes with the data "
+                                          "axis only; set n_model=1")
+            if self.model.enc[0] % self.n_pipe:
+                raise ValueError(f"enc.n_layer={self.model.enc[0]} must "
+                                 f"divide over {self.n_pipe} pipeline stages")
+            if batch % self.pipe_micro:
+                raise ValueError(f"batch_size={batch} must divide into "
+                                 f"{self.pipe_micro} microbatches "
+                                 f"(parallel.pipe_micro)")
+        if self.n_seq > 1:
+            if self.is_espnet or self.model.band is None:
+                raise ValueError("parallel.n_seq needs native-family banded "
+                                 "training (--banded)")
+            t_max = config.data.max_input_length or 0
+            if t_max % self.n_seq:
+                raise ValueError(
+                    f"data.max_input_length={t_max} must divide over "
+                    f"{self.n_seq} sequence shards (e.g. --set "
+                    f"data.max_input_length="
+                    f"{-(-t_max // self.n_seq) * self.n_seq})")
+            if t_max // self.n_seq < max(self.model.band):
+                raise ValueError(f"sequence shard {t_max // self.n_seq} "
+                                 f"must cover the band halo {self.model.band}")
         if n_data is None:
             # largest data-axis size that divides the batch (the reference's
-            # DataParallel analog requires batch % replicas == 0 too)
-            avail = len(jax.devices()) // n_model
-            batch = config.data.batch_size or 1
-            n_data = max(d for d in range(1, avail + 1) if batch % d == 0)
-        self.mesh = mesh_lib.make_mesh(n_data=n_data, n_model=n_model)
+            # DataParallel analog requires batch % replicas == 0 too); with
+            # pp the MICRObatch must also divide over the data axis
+            avail = len(jax.devices()) // (n_model * self.n_pipe * self.n_seq)
+            per_micro = batch // self.pipe_micro if self.n_pipe > 1 else batch
+            n_data = max(d for d in range(1, max(avail, 1) + 1)
+                         if batch % d == 0 and per_micro % d == 0)
+        self.mesh = mesh_lib.make_mesh(n_data=n_data, n_model=n_model,
+                                       n_pipe=self.n_pipe, n_seq=self.n_seq)
         self.logger.info("Mesh: %s", dict(self.mesh.shape))
 
         seed = config.training.seed or 1
@@ -100,6 +146,17 @@ class Trainer:
         else:
             variables = self.model.init(init_rng, dummy_x, dummy_y)
         self.params = variables["params"]
+        if self.n_pipe > 1:
+            # pp mode: the encoder lives STACKED (n_layer, ...) for the whole
+            # run, its layer axis sharded over the 'pipe' mesh axis (and,
+            # via opt_state_shardings, so do its optimizer moments) — each
+            # stage device materializes only its own layers.  Checkpoints
+            # stay in the canonical per-layer format via _to/_from_canonical.
+            from transformer_transducer_tpu.parallel.pipeline import (
+                stack_encoder_layers)
+            self.params = dict(self.params)
+            self.params["encoder"] = stack_encoder_layers(
+                self.params["encoder"], self.model.enc[0])
 
         n_total, n_enc, n_dec = self._count_params()
         self.logger.info("# parameters: total %d | encoder %d | decoder %d | "
@@ -115,6 +172,10 @@ class Trainer:
         # the loss is a batch mean and grad-clip/LR apply to the averaged
         # grads at update time.  Beyond reference (whose effective batch is
         # capped by GPU memory, config/aishell.yaml batch_size).
+        # Step-count semantics: global_step (and therefore --save-steps and
+        # the nan-guard skip counter) ticks per LOADER BATCH (mini-step),
+        # not per applied optimizer update — documented in MIGRATION.md;
+        # changing it would break bit-exact step_* resume compatibility.
         ga = int(config.training.grad_accum_steps or 1)
         if ga > 1:
             import optax
@@ -159,7 +220,11 @@ class Trainer:
                                         loss_pruned_range=int(pr_) if pr_ else None,
                                         loss_simple_scale=0.25 if ss_ is None
                                         else float(ss_),
-                                        nan_guard=bool(config.training.nan_guard))
+                                        nan_guard=bool(config.training.nan_guard),
+                                        n_pipe=self.n_pipe,
+                                        pipe_micro=self.pipe_micro,
+                                        n_seq=self.n_seq,
+                                        sp_window=self.sp_window)
         self.max_skipped_steps = int(config.training.max_skipped_steps or 25)
         self._consecutive_skips = 0
         self.train_step = compile_train_step(
@@ -183,16 +248,37 @@ class Trainer:
         dec = sum(jax.tree_util.tree_leaves(sizes["decoder"]))
         return total, enc, dec
 
+    def _to_canonical(self, tree):
+        """pp mode stores the encoder stacked (pipe-sharded); checkpoints
+        stay in the canonical per-layer layout so they interchange with
+        dp/tp runs.  No-op when n_pipe == 1."""
+        if self.n_pipe <= 1:
+            return tree
+        from transformer_transducer_tpu.parallel.pipeline import (
+            convert_encoder_subtrees, unstack_encoder_layers)
+        return convert_encoder_subtrees(tree, unstack_encoder_layers)
+
+    def _from_canonical(self, tree):
+        if self.n_pipe <= 1:
+            return tree
+        from transformer_transducer_tpu.parallel.pipeline import (
+            convert_encoder_subtrees, stack_encoder_layers)
+        n = self.model.enc[0]
+        return convert_encoder_subtrees(
+            tree, lambda enc: stack_encoder_layers(enc, n))
+
     def _maybe_load(self):
         tcfg = self.config.training
         if self.mode == "continue":
             path = ckpt_lib.latest_checkpoint(self.exp_dir) or tcfg.load_model
             if not path:
                 raise FileNotFoundError("continue mode but no checkpoint found")
-            self.params, opt_state, meta = ckpt_lib.load_checkpoint(
-                path, self.params, self.opt_state)
+            params_c, opt_state, meta = ckpt_lib.load_checkpoint(
+                path, self._to_canonical(self.params),
+                self._to_canonical(self.opt_state))
+            self.params = self._from_canonical(params_c)
             if opt_state is not None:
-                self.opt_state = opt_state
+                self.opt_state = self._from_canonical(opt_state)
             self.start_epoch = meta.get("epoch", 0) + 1
             self.global_step = meta.get("step", 0)
             self.lr_ctl.lr = meta.get("lr", self.lr_ctl.lr)
@@ -209,13 +295,16 @@ class Trainer:
                 self.logger.info("Continue from %s (epoch %d, step %d)",
                                  path, self.start_epoch, self.global_step)
         elif tcfg.load_model:
-            self.params, _, _ = ckpt_lib.load_checkpoint(tcfg.load_model,
-                                                         self.params)
+            params_c, _, _ = ckpt_lib.load_checkpoint(
+                tcfg.load_model, self._to_canonical(self.params))
+            self.params = self._from_canonical(params_c)
             self.logger.info("Loaded model from %s", tcfg.load_model)
         else:
             if tcfg.load_encoder:
-                self.params["encoder"] = ckpt_lib.load_component(
-                    tcfg.load_encoder, "encoder", self.params["encoder"])
+                enc_c = self._to_canonical({"encoder": self.params["encoder"]})
+                enc_c["encoder"] = ckpt_lib.load_component(
+                    tcfg.load_encoder, "encoder", enc_c["encoder"])
+                self.params["encoder"] = self._from_canonical(enc_c)["encoder"]
                 self.logger.info("Loaded encoder from %s", tcfg.load_encoder)
             if tcfg.load_decoder:
                 self.params["decoder"] = ckpt_lib.load_component(
@@ -376,14 +465,26 @@ class Trainer:
         bspec = mesh_lib.batch_sharding(self.mesh)
         rspec = mesh_lib.replicated(self.mesh)
 
+        if self.n_pipe > 1:
+            from transformer_transducer_tpu.parallel.pipeline import (
+                encoder_layer_module, encode_pipelined_stacked)
+            pp_layer = encoder_layer_module(self.model, dropout=0.0)
+
         @functools.partial(jax.jit, in_shardings=(pspecs, bspec, bspec),
                            out_shardings=rspec)
         def run(params, inputs, t_len):
             # espnet family: second positional arg is lengths (pad mask);
             # native family: it is the (absent) attention mask
-            enc = self.model.apply({"params": params}, inputs,
-                                   t_len if self.is_espnet else None,
-                                   method="encode")
+            if self.n_pipe > 1:
+                # pp mode keeps the encoder stacked/pipe-sharded: evaluate
+                # through the same GPipe program (deterministic)
+                enc = encode_pipelined_stacked(
+                    pp_layer, params["encoder"], inputs, self.mesh,
+                    n_micro=self.pipe_micro, data_axis=mesh_lib.DATA_AXIS)
+            else:
+                enc = self.model.apply({"params": params}, inputs,
+                                       t_len if self.is_espnet else None,
+                                       method="encode")
             # conv-subsampling input layers shorten the encoder output;
             # decode over the mapped lengths, not the input lengths
             if self.is_espnet:
@@ -459,7 +560,8 @@ class Trainer:
 
     def save(self, epoch: int):
         path = os.path.join(self.exp_dir, f"epoch_{epoch}")
-        ckpt_lib.save_checkpoint(path, self.params, self.opt_state,
+        ckpt_lib.save_checkpoint(path, self._to_canonical(self.params),
+                                 self._to_canonical(self.opt_state),
                                  epoch=epoch, step=self.global_step,
                                  extra={"lr": self.lr_ctl.lr})
         # step_* recovery artifacts are redundant once the epoch lands
@@ -478,7 +580,8 @@ class Trainer:
         kept."""
         path = os.path.join(self.exp_dir, f"step_{self.global_step}")
         ckpt_lib.save_checkpoint(
-            path, self.params, self.opt_state,
+            path, self._to_canonical(self.params),
+            self._to_canonical(self.opt_state),
             # "epoch": last COMPLETED epoch, consistent with epoch_* metas
             epoch=epoch - 1, step=self.global_step,
             extra={"lr": self.lr_ctl.lr, "mid_epoch": epoch,
