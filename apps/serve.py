@@ -44,6 +44,12 @@ def main():
                     help="emit one JSON line per file: text, tokens, "
                          "per-token emission times (s) and softmax "
                          "confidences, sentence segments")
+    ap.add_argument("--latency", action="store_true",
+                    help="drain round-by-round (one fused process() per "
+                         "round instead of the 16-round stacked drain) and "
+                         "emit a final JSON summary line with per-round "
+                         "latency p50/p95/p99 and per-file first-token "
+                         "latency — the serving-SLO numbers")
     ap.add_argument("--set", action="append", default=[], dest="overrides",
                     metavar="KEY=VALUE", help="config override (dotted key)")
     args = ap.parse_args()
@@ -74,6 +80,8 @@ def main():
 
     results = {}
     total_audio_s = 0.0
+    round_lats = []          # --latency: per-process()-round wall times, ms
+    first_token_ms = {}      # --latency: path -> first-token latency, ms
     t0 = time.perf_counter()
     # fill slots with up to n_streams files at a time
     for base in range(0, len(args.wavs), n_streams):
@@ -87,7 +95,25 @@ def main():
             session.finalize(slot)
         for slot in range(len(group), n_streams):
             session.finalize(slot)   # empty slots ride along as no-ops
-        tokens = session.run_to_completion()
+        if args.latency:
+            # round-by-round drain: each process() call is one fused
+            # serving round — its wall time is the live-mode SLO unit
+            t_grp = time.perf_counter()
+            while True:
+                t_r = time.perf_counter()
+                new = session.process()
+                lat = (time.perf_counter() - t_r) * 1e3
+                now_ms = (time.perf_counter() - t_grp) * 1e3
+                for slot, path in enumerate(group):
+                    if path not in first_token_ms \
+                            and session.streams[slot].result:
+                        first_token_ms[path] = round(now_ms, 2)
+                if not any(new):
+                    break            # the final empty gather is not a round
+                round_lats.append(lat)
+            tokens = [list(st.result) for st in session.streams]
+        else:
+            tokens = session.run_to_completion()
         period = scfg.subsample * 0.01   # subsampled-frame period, seconds
         for slot, path in enumerate(group):
             text = "".join(vocab.decode(tokens[slot]))
@@ -116,6 +142,19 @@ def main():
         print(f"# aggregate: {total_audio_s:.1f}s audio in {wall:.2f}s "
               f"= {total_audio_s / wall:.1f}x realtime "
               f"({n_streams} streams/round)", file=sys.stderr)
+    if args.latency and round_lats:
+        lats = np.asarray(round_lats, np.float64)
+        print(json.dumps({"summary": {
+            "streams_per_round": n_streams,
+            "rounds": len(round_lats),
+            "aggregate_x_realtime": round(total_audio_s / wall, 2),
+            "round_latency_ms": {
+                "mean": round(float(lats.mean()), 2),
+                "p50": round(float(np.percentile(lats, 50)), 2),
+                "p95": round(float(np.percentile(lats, 95)), 2),
+                "p99": round(float(np.percentile(lats, 99)), 2)},
+            "first_token_ms": first_token_ms,
+        }}, ensure_ascii=False))
 
 
 if __name__ == "__main__":

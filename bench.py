@@ -406,7 +406,7 @@ def bench_streaming_rtf_flagship(seconds=30, incremental=False,
         session.finalize()
         dt = min(dt, time.perf_counter() - t0)
     if not measure_cadence:   # throughput-only callers skip the per-window
-        return seconds / dt, float("nan")   # regime (its compiles + ~60
+        return seconds / dt, None           # regime (its compiles + ~60
     # per-relay-dispatch calls are minutes of dead work otherwise)
     # warm the per-window regime's own program sizes too (the 1-window/
     # 1-chunk buckets never compile during the stacked full-wave passes —
@@ -416,14 +416,70 @@ def bench_streaming_rtf_flagship(seconds=30, incremental=False,
         session.accept_waveform(wav[i:i + cfg.audio_step])
     session.finalize()
     session.reset()
-    t0 = time.perf_counter()
-    n_win = 0
+    # per-window latency DISTRIBUTION (serving-SLO numbers: the relay's
+    # dispatch tail hides behind a mean) + first-token latency measured
+    # from the first audio hitting the session
+    lats = []
+    first_token_ms = None
+    t_start = time.perf_counter()
     for i in range(0, len(wav), cfg.audio_step):
+        t0 = time.perf_counter()
         session.accept_waveform(wav[i:i + cfg.audio_step])
-        n_win += 1
+        lats.append((time.perf_counter() - t0) * 1e3)
+        if session.result and first_token_ms is None:
+            first_token_ms = (time.perf_counter() - t_start) * 1e3
     session.finalize()
-    lat_ms = (time.perf_counter() - t0) / n_win * 1e3
-    return seconds / dt, lat_ms
+    lat_stats = _latency_stats(lats, first_token_ms)
+    return seconds / dt, lat_stats
+
+
+def _latency_stats(lats_ms, first_token_ms=None):
+    """{mean, p50, p95, p99[, first_token_ms]} of a latency sample (ms) —
+    the serving-SLO shape (VERDICT r3 #7): the relay's dispatch tail hides
+    behind a mean."""
+    import numpy as np
+    a = np.asarray(lats_ms, np.float64)
+    out = {"mean": round(float(a.mean()), 2),
+           "p50": round(float(np.percentile(a, 50)), 2),
+           "p95": round(float(np.percentile(a, 95)), 2),
+           "p99": round(float(np.percentile(a, 99)), 2)}
+    if first_token_ms is not None:
+        out["first_token_ms"] = round(float(first_token_ms), 2)
+    return out
+
+
+def bench_multistream_cadence_flagship(n_streams=8, n_rounds=30,
+                                       incremental=False):
+    """LIVE multi-stream serving-round latency distribution at the flagship
+    config: every stream receives one audio window per round (the mic
+    regime — no drain stacking possible), one fused ``process()`` call per
+    round.  Returns ``_latency_stats`` of the per-round wall times — the
+    p50/p95/p99 a serving SLO is written against."""
+    import numpy as np
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+
+    model, variables, cfg = _flagship_streaming_parts()
+    session = BatchedStreamingSession(model, variables, cfg, n_streams,
+                                      incremental=incremental)
+    rs = np.random.RandomState(0)
+    step = cfg.audio_step
+    wavs = [(rs.randn(step * (n_rounds + 2)) * 3000).astype("int16")
+            for _ in range(n_streams)]
+
+    def feed(r):
+        for i, w in enumerate(wavs):
+            session.accept_waveform(i, w[r * step:(r + 1) * step])
+        return session.process()
+
+    for r in range(3):   # warm: compiles + first-round buckets
+        feed(r)
+    lats = []
+    for r in range(3, n_rounds + 2):
+        t0 = time.perf_counter()
+        feed(r)
+        lats.append((time.perf_counter() - t0) * 1e3)
+    return _latency_stats(lats)
 
 
 def bench_multistream_flagship(n_streams=8, seconds=30, incremental=False):
@@ -1022,9 +1078,9 @@ def main():
     _note("streaming espnet")
     stream_rtf_esp = bench_streaming_rtf_espnet()
     _note("streaming flagship")
-    flag_rtf, flag_lat_ms = bench_streaming_rtf_flagship()
+    flag_rtf, flag_lat = bench_streaming_rtf_flagship()
     _note("streaming flagship incremental")
-    flag_inc_rtf, flag_inc_lat_ms = bench_streaming_rtf_flagship(
+    flag_inc_rtf, flag_inc_lat = bench_streaming_rtf_flagship(
         incremental=True)
     _note("streaming flagship 15pct")
     flag_rtf_15, _ = bench_streaming_rtf_flagship(emission_density=0.15,
@@ -1038,6 +1094,14 @@ def main():
     flag_multi_rtf = bench_multistream_flagship()
     _note("multistream flagship incremental")
     flag_multi_inc_rtf = bench_multistream_flagship(incremental=True)
+    _note("multistream espnet")
+    esp_multi_rtf = bench_multistream_espnet()
+    _note("multistream espnet incremental")
+    esp_multi_inc_rtf = bench_multistream_espnet(incremental=True)
+    _note("multistream flagship live-round latency")
+    flag_round_lat = bench_multistream_cadence_flagship()
+    _note("multistream flagship live-round latency incremental")
+    flag_round_lat_inc = bench_multistream_cadence_flagship(incremental=True)
     _note("input pipeline (host)")
     pipe_utts, pipe_audio = bench_input_pipeline()
     _note("train flagship real file I/O")
@@ -1078,11 +1142,15 @@ def main():
         "streaming_x_realtime_warm_espnet": round(stream_rtf_esp, 2),
         "streaming_cadence_ms_per_window_aishell": round(stream_lat_ms, 2),
         "streaming_x_realtime_warm_flagship": round(flag_rtf, 2),
-        "streaming_cadence_ms_per_window_flagship": round(flag_lat_ms, 2),
+        "streaming_cadence_ms_per_window_flagship": flag_lat["mean"],
+        # serving-SLO shape: per-window latency percentiles + first-token
+        # latency in the mic regime (VERDICT r3 #7)
+        "streaming_window_latency_flagship": flag_lat,
         "streaming_x_realtime_warm_flagship_incremental":
             round(flag_inc_rtf, 2),
         "streaming_cadence_ms_per_window_flagship_incremental":
-            round(flag_inc_lat_ms, 2),
+            flag_inc_lat["mean"],
+        "streaming_window_latency_flagship_incremental": flag_inc_lat,
         "streaming_x_realtime_warm_flagship_15pct": round(flag_rtf_15, 2),
         "streaming_x_realtime_warm_flagship_15pct_incremental":
             round(flag_inc_rtf_15, 2),
@@ -1090,6 +1158,14 @@ def main():
         "multistream_8_aggregate_x_realtime_flagship": round(flag_multi_rtf, 2),
         "multistream_8_aggregate_x_realtime_flagship_incremental":
             round(flag_multi_inc_rtf, 2),
+        "multistream_8_aggregate_x_realtime_espnet": round(esp_multi_rtf, 2),
+        "multistream_8_aggregate_x_realtime_espnet_incremental":
+            round(esp_multi_inc_rtf, 2),
+        # live 8-stream serving-round latency (one window/stream/round, one
+        # fused process() per round — the mic-regime SLO distribution)
+        "multistream_8_round_latency_ms_flagship": flag_round_lat,
+        "multistream_8_round_latency_ms_flagship_incremental":
+            flag_round_lat_inc,
         "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),
                                  "pallas": round(banded_ms, 3)},
         # host Dataset->loader feed rate on WAVs on disk (12.3 s utts);

@@ -108,7 +108,7 @@ def test_incremental_session_feed_pattern_invariant():
     assert a.result == b.result
 
 
-def test_incremental_rejects_trapezoid_and_espnet():
+def test_incremental_rejects_trapezoid():
     from transformer_transducer_tpu.streaming.session import (
         TrapezoidStreamingSession)
     model, variables = _model()
@@ -116,6 +116,150 @@ def test_incremental_rejects_trapezoid_and_espnet():
                           feature_dim=4, stack_left=3)
     with pytest.raises(ValueError):
         TrapezoidStreamingSession(model, variables, cfg, incremental=True)
+
+
+# ---------------------------------------------------------------------------
+# Espnet family (round 4): shift-invariant rel-pos — the cached step needs
+# no wrap pinning at all (streaming/incremental.py module docstring).
+
+def _espnet_model(input_layer=None, vocab=12, d=16, n_layer=2, seed=0):
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    from transformer_transducer_tpu.utils.config import Config
+    blk = {"output_size": d, "attention_heads": 2, "linear_units": 32,
+           "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+           "attention_dropout_rate": 0.0, "padding_idx": -1}
+    cfg_m = Config({
+        "enc": {**blk, "input_size": d, "num_blocks": n_layer,
+                "input_layer": input_layer},
+        "dec": {**blk, "input_size": vocab, "num_blocks": 1,
+                "input_layer": "embed"},
+        "joint": {"vocab_size": vocab, "encoder_output_size": d,
+                  "decoder_output_size": d, "joint_space_size": d,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": 3, "encoder_right_mask": 2,
+                 "decoder_left_mask": 2},
+    })
+    model = build_espnet_transducer(cfg_m)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 8, d)),
+                           jnp.asarray([8]), jnp.zeros((1, 4), jnp.int32),
+                           jnp.asarray([4]))
+    return model, variables
+
+
+def _espnet_scfg(vocab=12, **kw):
+    kw.setdefault("win_audio", 4800 + 480)
+    kw.setdefault("audio_step", 4800)
+    return StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                           feature_dim=4, stack_left=3,
+                           seed_token=vocab - 1, **kw)
+
+
+@pytest.mark.parametrize("input_layer", [None, "linear"])
+def test_espnet_incremental_encode_equals_windows(input_layer):
+    """The cached espnet step must equal the padded-window encode (the
+    session's espnet window body: model.encode on fixed-length windows,
+    band internal) exactly — including the final window's padded-key
+    capacity and the input layer applied to flush zeros."""
+    from transformer_transducer_tpu.streaming.incremental import (
+        chunked_encode_key_limit, init_cache, make_incremental_encoder)
+    model, variables = _espnet_model(input_layer=input_layer, seed=3)
+    L, R, NL, t, fixed, chunk = 3, 2, 2, 37, 64, 8
+    rng = np.random.RandomState(5)
+    feats = rng.randn(t, 16).astype(np.float32)
+    left_len, right_len = NL * L, NL * R
+
+    def window_ref():
+        pos, outs = 0, []
+        while pos < t:
+            end = min(pos + max(right_len, 1) + right_len, t)
+            left_frame = min(left_len, pos)
+            start = pos - left_frame
+            right_frame = right_len if end < t else 0
+            window = feats[start:end]
+            padded = np.zeros((fixed, 16), np.float32)
+            padded[:window.shape[0]] = window
+            enc = np.asarray(model.apply(variables, jnp.asarray(padded[None]),
+                                         None, method="encode"))[0]
+            eff = enc[left_frame:window.shape[0] - right_frame]
+            outs.append(eff)
+            pos += eff.shape[0]
+        return np.concatenate(outs, 0)
+
+    scfg = _espnet_scfg(window_len=fixed)
+    stack, (nl, dm), step = make_incremental_encoder(model, variables, scfg)
+    step_j = jax.jit(step)
+    cache = init_cache(nl, L, R, dm)
+    lag = NL * R
+    kl = chunked_encode_key_limit(t, left_len, lag, max(lag, 1), fixed)
+    padded = np.concatenate([feats, np.zeros((lag, 16), np.float32)])
+    outs = []
+    for p in range(0, padded.shape[0], chunk):
+        rows = padded[p:p + chunk]
+        n_new = rows.shape[0]
+        if n_new < chunk:
+            rows = np.pad(rows, ((0, chunk - n_new), (0, 0)))
+        cache, out, out_start = step_j(stack, cache, jnp.asarray(rows),
+                                       jnp.asarray(n_new, jnp.int32),
+                                       jnp.asarray(kl, jnp.int32))
+        out, s = np.asarray(out), int(out_start)
+        outs += [out[j] for j in range(n_new) if 0 <= s + j < t]
+    got = np.stack(outs, 0)
+    ref = window_ref()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("input_layer", [None, "linear"])
+def test_espnet_incremental_session_equals_window_session(input_layer):
+    """The espnet cached-encoder session must emit the identical token
+    stream as the espnet window session (VERDICT r3 weak #4 lift)."""
+    model, variables = _espnet_model(input_layer=input_layer, seed=11)
+    rng = np.random.RandomState(9)
+    wav = (np.sin(np.arange(30000) * 0.03) * 9000
+           + rng.randn(30000) * 1500).astype(np.int16)
+    ref = _run_session(model, variables, _espnet_scfg(blank_split=4), wav,
+                       incremental=False)
+    got = _run_session(model, variables, _espnet_scfg(blank_split=4), wav,
+                       incremental=True)
+    assert ref.result, "degenerate test: the window session emitted nothing"
+    assert got.result == ref.result
+    assert got.segments == ref.segments
+    assert got.timestamps == ref.timestamps
+
+
+def test_espnet_batched_incremental_matches_canonical():
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+    model, variables = _espnet_model(seed=0)
+    wavs = [_batched_wav(s, 12000 + 1500 * s) for s in range(2)]
+
+    def run(incremental):
+        b = BatchedStreamingSession(model, variables,
+                                    _espnet_scfg(window_len=64),
+                                    n_streams=2, incremental=incremental)
+        for i, wav in enumerate(wavs):
+            b.accept_waveform(i, wav)
+            b.finalize(i)
+        return b.run_to_completion(), [st.segments for st in b.streams]
+
+    ref, ref_seg = run(False)
+    got, got_seg = run(True)
+    assert any(ref), "degenerate test: no stream emitted anything"
+    assert got == ref
+    assert got_seg == ref_seg
+
+
+def test_espnet_incremental_rejects_conv_input_layers():
+    from transformer_transducer_tpu.streaming.incremental import (
+        make_incremental_encoder)
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    model, variables = _espnet_model(seed=1)
+    model = model.clone(enc_kwargs=tuple(
+        dict(model.enc_kwargs, input_layer="conv2d").items()))
+    with pytest.raises(ValueError, match="conv"):
+        make_incremental_encoder(model, variables, _espnet_scfg())
 
 
 def _batched_wav(seed, n=14000):

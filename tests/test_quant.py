@@ -213,19 +213,48 @@ def test_quantized_streaming_session_matches_float_tokens():
     assert run(model, v) == run(mq, vq)
 
 
-def test_quantized_incremental_mode_rejected():
+def test_quantized_incremental_session_matches_quantized_window():
+    """Round 4: the int8 refusal is lifted — the incremental layer steps
+    route every projection through the same W8A8 dynamic per-row scheme as
+    the window program's QuantDense (streaming/incremental.py::_dense), so
+    int8 incremental must emit the int8 window path's exact token stream.
+    Covers BOTH model families."""
     from transformer_transducer_tpu.streaming.session import (
         StreamingConfig, StreamingSession)
+    rng = np.random.RandomState(0)
+    wav = (np.sin(np.arange(24000) * 0.03) * 9000
+           + rng.randn(24000) * 1500).astype(np.int16)
+
+    def run(m, vv, seed_token, incremental):
+        cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
+                              feature_dim=4, stack_left=3, blank_split=4,
+                              win_audio=4800 + 480, audio_step=4800,
+                              seed_token=seed_token)
+        s = StreamingSession(m, vv, cfg, incremental=incremental)
+        s.accept_waveform(wav)
+        s.finalize()
+        return list(s.result)
+
+    # native family
     model = Transducer(vocab_size=12, enc=(2, 64, 2, 16, 8, 32),
                        dec=(1, 41, 2, 16, 8, 32), joint_inner=16)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
                    jnp.zeros((1, 4), jnp.int32))
-    mq = model.clone(quant=True)
-    vq = quantize_variables(v)
-    cfg = StreamingConfig(left_context=3, right_context=2, n_layer=2,
-                          feature_dim=4, stack_left=3)
-    with pytest.raises(ValueError, match="float-only"):
-        StreamingSession(mq, vq, cfg, incremental=True)
+    mq, vq = model.clone(quant=True), quantize_variables(v)
+    ref = run(mq, vq, 0, incremental=False)
+    assert ref, "degenerate test: int8 window session emitted nothing"
+    assert run(mq, vq, 0, incremental=True) == ref
+
+    # espnet family
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_incremental_streaming import _espnet_model
+    em, ev = _espnet_model(seed=11)
+    emq, evq = em.clone(quant=True), quantize_variables(ev)
+    eref = run(emq, evq, 11, incremental=False)
+    assert eref, "degenerate test: int8 espnet window session emitted nothing"
+    assert run(emq, evq, 11, incremental=True) == eref
 
 
 def test_quantize_checkpoint_tool_roundtrip(tmp_path):

@@ -76,3 +76,58 @@ def test_serve_json_output(tmp_path, monkeypatch, capsys):
             f"w{t}" for t in rec["tokens"])
         saw_tokens = saw_tokens or n > 0
     assert saw_tokens, "degenerate test: no stream emitted anything"
+
+
+def test_serve_latency_summary(tmp_path, monkeypatch, capsys):
+    """--latency drains round-by-round and emits a final JSON summary with
+    per-round latency percentiles + per-file first-token latency (the
+    serving-SLO shape, VERDICT r3 #7); per-file outputs must match the
+    stacked drain's exactly (process()==drain parity is already tested at
+    the session level)."""
+    from transformer_transducer_tpu.utils.config import dump_config
+    from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
+    from transformer_transducer_tpu.models.factory import build_family
+
+    vocab_path = tmp_path / "vocab.txt"
+    with open(vocab_path, "w") as f:
+        f.write("<b> 0\n")
+        for i in range(1, 12):
+            f.write(f"w{i} {i}\n")
+    cfg = tiny_train_config(str(tmp_path), str(vocab_path),
+                            {"train": "x", "dev": "x", "test": "x"})
+    cfg_path = tmp_path / "cfg.yaml"
+    dump_config(cfg, str(cfg_path))
+    model, variables, _ = build_family(cfg, 16)
+    ckpt = ckpt_lib.save_checkpoint(str(tmp_path / "ck"),
+                                    variables["params"])
+
+    rng = np.random.RandomState(0)
+    wavs = []
+    for s in range(2):
+        w = (np.sin(np.arange(16000 + 4000 * s) * (0.02 + 0.01 * s)) * 9000
+             + rng.randn(16000 + 4000 * s) * 1500)
+        p = tmp_path / f"in{s}.wav"
+        write_wave(str(p), w)
+        wavs.append(str(p))
+
+    def run(extra):
+        monkeypatch.setattr(sys, "argv", [
+            "serve.py", "--config", str(cfg_path), "--checkpoint", ckpt,
+            "--wavs", *wavs, "--streams", "2", "--json", *extra])
+        _serve_module().main()
+        return [json.loads(ln) for ln in
+                capsys.readouterr().out.splitlines() if ln.strip()]
+
+    plain = run([])
+    lat = run(["--latency"])
+    assert len(lat) == 3 and "summary" in lat[-1]
+    # identical per-file decodes through the round-by-round drain
+    assert [r["tokens"] for r in lat[:2]] == [r["tokens"] for r in plain]
+    s = lat[-1]["summary"]
+    rl = s["round_latency_ms"]
+    assert set(rl) == {"mean", "p50", "p95", "p99"}
+    assert 0 < rl["p50"] <= rl["p95"] <= rl["p99"]
+    assert s["rounds"] > 0
+    emitted = [r["file"] for r in lat[:2] if r["tokens"]]
+    for path in emitted:
+        assert s["first_token_ms"][path] > 0

@@ -75,21 +75,13 @@ class BatchedStreamingSession:
         cfg.ensure_lengths()
         self.incremental = incremental
         if incremental:
-            from transformer_transducer_tpu.decoding.greedy import (
-                _is_native_family)
+            # family dispatch (native closed form / espnet shift-invariant
+            # band; float or int8 params) lives in streaming/incremental.py
             from transformer_transducer_tpu.streaming.incremental import (
-                stack_encoder_layers)
-            if not _is_native_family(self.variables):
-                raise ValueError(
-                    "incremental mode needs the native family's closed-form "
-                    "banded rel-attention (streaming/incremental.py)")
-            if getattr(self.model, "quant", False):
-                raise ValueError(
-                    "incremental mode is float-only (its closed-form layer "
-                    "step reads float kernels); use window rounds "
-                    "(incremental=False) for int8 models")
-            self._enc_stack = jax.device_put(
-                stack_encoder_layers(self.variables, self.model.enc[0]))
+                make_incremental_encoder)
+            stack, self._inc_geom, self._inc_step = make_incremental_encoder(
+                self.model, self.variables, cfg)
+            self._enc_stack = jax.device_put(stack)
             self._decode = self._build_batched_chunk_decode()
         else:
             self._decode = self._build_batched_decode()
@@ -109,9 +101,9 @@ class BatchedStreamingSession:
         if self.incremental:
             from transformer_transducer_tpu.streaming.incremental import (
                 init_cache)
-            e = self.model.enc
-            one = init_cache(e[0], self.cfg.left_context,
-                             self.cfg.right_context, e[3])
+            n_layer, d_model = self._inc_geom
+            one = init_cache(n_layer, self.cfg.left_context,
+                             self.cfg.right_context, d_model)
             self._cache = jax.device_put(jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (self.n,) + x.shape).copy(),
                 one))
@@ -248,25 +240,15 @@ class BatchedStreamingSession:
         incremental session (tested)."""
         cfg = self.cfg
         chunk = cfg.chunk_len
-        left, right = cfg.left_context, cfg.right_context
-        e = self.model.enc
-        n_head, d_head = e[2], e[4]
-        window_len = cfg.window_len
-        cd = self.model.compute_dtype
         frame_scan = self._make_frame_scan(chunk)
-
-        from transformer_transducer_tpu.streaming.incremental import (
-            incremental_encode_step)
+        inc_step = self._inc_step   # family-dispatched cached-encoder step
 
         def round_body(variables, enc_stack, carry, xs):
             cache, state = carry
             x_new, n_news, kls, vss, nvs = xs
 
             def one(cache_i, x, n, kl):
-                return incremental_encode_step(
-                    enc_stack, cache_i, x, n, kl, left=left, right=right,
-                    window_len=window_len, n_head=n_head, d_head=d_head,
-                    compute_dtype=cd)
+                return inc_step(enc_stack, cache_i, x, n, kl)
 
             cache, out, _ = jax.vmap(one)(cache, x_new, n_news, kls)
             out_pad = jnp.pad(out, ((0, 0), (0, chunk), (0, 0)))

@@ -176,16 +176,6 @@ class StreamingSession:
         self._d = d_stacked
         cfg.ensure_lengths()
         self.incremental = incremental
-        if incremental and self._is_espnet():
-            raise ValueError(
-                "incremental mode needs the native family's closed-form "
-                "banded rel-attention (streaming/incremental.py); the "
-                "espnet variant keeps the halo window program")
-        if incremental and getattr(model, "quant", False):
-            raise ValueError(
-                "incremental mode is float-only (its closed-form layer step "
-                "reads float kernels); use the window program (incremental="
-                "False) for int8 models")
         from transformer_transducer_tpu.decoding.greedy import (
             predict_last_state)
         cap = cfg.label_history + 1
@@ -195,10 +185,13 @@ class StreamingSession:
                 self.model, variables, buf, count, label_mask))
         self._encode = self._build_encode()
         if incremental:
+            # family dispatch (native closed form / espnet shift-invariant
+            # band; float or int8 params) lives in streaming/incremental.py
             from transformer_transducer_tpu.streaming.incremental import (
-                stack_encoder_layers)
-            self._enc_stack = jax.device_put(
-                stack_encoder_layers(self.variables, self.model.enc[0]))
+                make_incremental_encoder)
+            stack, self._inc_geom, self._inc_step = make_incremental_encoder(
+                self.model, self.variables, cfg)
+            self._enc_stack = jax.device_put(stack)
             self._chunk_decode = self._build_chunk_decode()
         else:
             self._window_decode = self._build_window_decode()
@@ -243,9 +236,10 @@ class StreamingSession:
         if getattr(self, "incremental", False):
             from transformer_transducer_tpu.streaming.incremental import (
                 init_cache)
-            e = self.model.enc
+            n_layer, d_model = self._inc_geom
             self._cache = jax.device_put(init_cache(
-                e[0], self.cfg.left_context, self.cfg.right_context, e[3]))
+                n_layer, self.cfg.left_context, self.cfg.right_context,
+                d_model))
             self._fed = 0               # rows fed to the device encoder
             self._shadow_pos = 0        # canonical window-geometry mirror
             self._shadow_final_start = None
@@ -433,22 +427,14 @@ class StreamingSession:
         """
         cfg = self.cfg
         chunk = cfg.chunk_len
-        left, right = cfg.left_context, cfg.right_context
-        e = self.model.enc
-        n_head, d_head = e[2], e[4]
-        window_len = cfg.window_len
-        cd = self.model.compute_dtype
         frame_decode = self._make_frame_decoder(chunk)
-        from transformer_transducer_tpu.streaming.incremental import (
-            incremental_encode_step)
+        inc_step = self._inc_step   # family-dispatched cached-encoder step
 
         def chunk_body(variables, enc_stack, carry, x_new, n_new, key_limit,
                        valid_start, n_valid):
             cache, state = carry
-            cache, out, _ = incremental_encode_step(
-                enc_stack, cache, x_new, n_new, key_limit,
-                left=left, right=right, window_len=window_len,
-                n_head=n_head, d_head=d_head, compute_dtype=cd)
+            cache, out, _ = inc_step(enc_stack, cache, x_new, n_new,
+                                     key_limit)
             # shift this step's decodable rows to the front (host computed
             # valid_start/n_valid from the output frontier)
             enc_pad = jnp.pad(out, ((0, chunk), (0, 0)))

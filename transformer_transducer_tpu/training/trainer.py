@@ -240,6 +240,7 @@ class Trainer:
                                         sp_window=self.sp_window)
         self.max_skipped_steps = int(config.training.max_skipped_steps or 25)
         self._consecutive_skips = 0
+        self.total_skips = 0    # lifetime nan-guard trips (observability)
         self.train_step = compile_train_step(
             self.model, self.tx, self.mesh, self.params, self.opt_state,
             self.step_cfg)
@@ -381,6 +382,7 @@ class Trainer:
         for s in skips:
             if int(s):
                 self._consecutive_skips += 1
+                self.total_skips += 1
                 self.logger.warning(
                     "non-finite loss/grad at step %d — update skipped "
                     "(%d consecutive)", self.global_step,
