@@ -65,10 +65,8 @@ def main():
         # the pad-mask lengths, and the label history seeds with sos
         enc = model.apply(variables, jnp.asarray(feats[None]),
                           jnp.asarray([t]), method="encode")
+        t = int(model.encoded_lengths(jnp.asarray([t]), feats.shape[0])[0])
         seed = model.vocab_size - 1
-        if args.beam:
-            raise SystemExit("--beam supports the native family only (the "
-                             "reference espnet recipe decodes greedily)")
     else:
         mask = None if args.full_context else context_mask(
             t, cfg.model.enc.left_context or 10,

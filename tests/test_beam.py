@@ -168,13 +168,114 @@ def test_beam_cache_matches_recompute(seed):
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_r), **tol)
 
 
-def test_beam_rejects_espnet_layout():
-    """The emission-jump beam walks the native joint/decoder param trees
-    directly; a non-native layout (espnet additive joint) must fail with a
-    clear contract error, not an opaque KeyError deep in the loop."""
+def test_beam_rejects_unknown_layout():
+    """An unrecognized joint layout must fail with a clear contract error,
+    not an opaque KeyError deep in the loop."""
     from transformer_transducer_tpu.decoding.beam import beam_search_batched
     model, _ = _tiny_model(seed=0)
-    fake_vars = {"params": {"joint": {"lin_enc": {}}, "decoder": {}}}
-    with pytest.raises(ValueError, match="native"):
+    fake_vars = {"params": {"joint": {"mystery": {}}, "decoder": {}}}
+    with pytest.raises(ValueError, match="layout"):
         beam_search_batched(model, fake_vars, jnp.zeros((1, 4, 8)),
                             jnp.asarray([4]))
+
+
+# ---------------------------------------------------------------------------
+# Espnet-family beam (round 4, beyond-reference: the reference decodes its
+# espnet variant greedily, tt_espnet/model.py:83-121)
+
+def _tiny_espnet(vocab=12, d=16, seed=0):
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from test_incremental_streaming import _espnet_model
+    return _espnet_model(vocab=vocab, d=d, seed=seed)
+
+
+def _python_beam_espnet(model, variables, enc_b, t_len_b, w=5, max_tokens=8):
+    """Same dynamic-shape oracle as ``_python_beam`` with the espnet label
+    surface: sos seed, band-internal ``predict``."""
+    sos = model.vocab_size - 1
+
+    def dec_last(tokens):
+        buf = jnp.asarray([tokens], dtype=jnp.int32)
+        dec = model.apply(variables, buf, look_ahead_mask(len(tokens)),
+                          method=type(model).predict)
+        return dec[0, -1]
+
+    def logp(tokens, t):
+        logits = model.apply(variables, jnp.asarray(enc_b[t]),
+                             dec_last(tokens),
+                             method=type(model).joint_logits)
+        return np.array(jax.nn.log_softmax(logits))
+
+    beams = [[sos] for _ in range(w)]
+    probs = np.zeros(w)
+    first = True
+    for t in range(t_len_b):
+        best = int(probs.argmax())
+        lp_best = logp(beams[best], t)
+        if int(lp_best.argmax()) == 0:
+            continue
+        cand_tok = np.zeros((w, w), dtype=int)
+        cand_val = np.zeros((w, w))
+        for i in range(w):
+            lp = logp(beams[i], t)
+            lp[0] = -1e30
+            order = np.argsort(-lp, kind="stable")[:w]
+            cand_tok[i] = order
+            cand_val[i] = lp[order]
+        if first:
+            new_beams = [beams[best] + [int(cand_tok[best, j])]
+                         for j in range(w)]
+            new_probs = cand_val[best].copy()
+            first = False
+        else:
+            flat = (probs[:, None] + cand_val).ravel()
+            top = np.argsort(-flat, kind="stable")[:w]
+            new_beams, new_probs = [], np.zeros(w)
+            for j, f in enumerate(top):
+                parent, kk = divmod(f, w)
+                tok = int(cand_tok[parent, kk])
+                nb = beams[parent] + [tok] \
+                    if len(beams[parent]) < max_tokens else beams[parent]
+                new_beams.append(nb)
+                new_probs[j] = flat[f]
+        beams, probs = new_beams, new_probs
+    return beams[int(probs.argmax())][1:]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_espnet_beam_matches_python_oracle(seed):
+    from transformer_transducer_tpu.decoding.beam import beam_search_batched
+    model, variables = _tiny_espnet(seed=seed)
+    rng = np.random.RandomState(seed + 10)
+    t = 7
+    x = jnp.asarray(rng.randn(1, t, 16).astype(np.float32) * 2)
+    enc = np.asarray(model.apply(variables, x, None, method="encode"))[0]
+    for use_cache in (False, True):
+        beams, counts, _ = beam_search_batched(
+            model, variables, jnp.asarray(enc[None]), jnp.asarray([t]),
+            beam_width=5, max_tokens=8, use_cache=use_cache)
+        n = int(np.asarray(counts)[0, 0])
+        got = list(map(int, np.asarray(beams)[0, 0, 1:n]))
+        ref = _python_beam_espnet(model, variables, enc, t, w=5,
+                                  max_tokens=8)
+        assert got == ref, f"cache={use_cache}: {got} != {ref}"
+
+
+def test_espnet_beam_width_one_matches_greedy():
+    from transformer_transducer_tpu.decoding.beam import beam_search_batched
+    model, variables = _tiny_espnet(seed=4)
+    rng = np.random.RandomState(5)
+    t = 8
+    x = jnp.asarray(rng.randn(1, t, 16).astype(np.float32) * 2)
+    enc = model.apply(variables, x, None, method="encode")
+    beams, counts, _ = beam_search_batched(
+        model, variables, enc, jnp.asarray([t]), beam_width=1, max_tokens=8)
+    n = int(np.asarray(counts)[0, 0])
+    got = list(map(int, np.asarray(beams)[0, 0, 1:n]))
+    tokens, cnts = greedy_decode(model, variables, enc, jnp.asarray([t]),
+                                 max_tokens=8,
+                                 seed_token=model.vocab_size - 1)
+    greedy = tokens_to_lists(np.asarray(tokens), np.asarray(cnts))[0]
+    assert got == greedy, f"width-1 espnet beam {got} != greedy {greedy}"

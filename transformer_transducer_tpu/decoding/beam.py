@@ -52,30 +52,38 @@ def beam_search_batched(model: Transducer, variables, enc_states: jax.Array,
     parameters stay jit ARGUMENTS — a closure would bake them into the
     serialized HLO as literal constants (hundreds of MB at flagship size).
 
-    Model contract: NATIVE family only (``models.transducer.Transducer``
-    param layout — the split-joint projection and the KV label cache walk
-    the concat ``JointNetwork`` / ``LabelEncoder`` trees directly).  The
-    reference ships beam search only for this family too
-    (``tt/model.py:110-179``); espnet-variant decoding is greedy.
+    Both model families (round 4; the reference ships beam only for the
+    native family, ``tt/model.py:110-179``, and decodes its espnet variant
+    greedily — espnet beam is beyond-reference).  The dispatch is purely
+    algebraic: the additive espnet joint ``lin_out(act(lin_enc(enc) +
+    lin_dec(dec)))`` has the SAME split form as the native concat joint
+    (``joint_params_from_espnet_variables``), the label side seeds with
+    sos = V-1 instead of blank, and the KV cache walks
+    ``decoding/espnet_label_cache`` instead of ``decoding/label_cache``.
     """
     params = variables["params"] if "params" in variables else variables
-    if "forward_layer" not in params.get("joint", {}):
+    if "forward_layer" in params.get("joint", {}):
+        seed, activation = blank, "tanh"
+    elif "lin_enc" in params.get("joint", {}):
+        seed = model.vocab_size - 1                      # sos == eos == V-1
+        activation = getattr(model, "joint_activation", "tanh") or "tanh"
+    else:
         raise ValueError(
-            "beam_search_batched requires the native Transducer param "
-            "layout (joint/forward_layer); the espnet family's additive "
-            "joint is not supported — use greedy decoding "
-            "(decoding.greedy), matching the reference surface.")
+            "beam_search_batched: unrecognized joint param layout "
+            "(neither native joint/forward_layer nor espnet joint/lin_enc)")
     return _beam_run(model, variables, enc_states, t_len,
-                     beam_width, max_tokens, blank, use_cache)
+                     beam_width, max_tokens, blank, use_cache, seed,
+                     activation)
 
 
 GATE_CHUNK = 32  # frames per gate window in the emission-jump loop
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
 def _beam_run(model: Transducer, variables, enc_states: jax.Array,
               t_len: jax.Array, beam_width: int, max_tokens: int, blank: int,
-              use_cache: bool = False):
+              use_cache: bool = False, seed: int = 0,
+              activation: str = "tanh"):
     """Emission-jump beam search (round-3 rewrite of the frame-scan).
 
     The reference algorithm only mutates state on frames whose gate
@@ -109,16 +117,24 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
     cd = model.compute_dtype
     label_mask = look_ahead_mask(max_tokens)
 
-    w_enc, w_dec, b1, w_out, b_out = [
-        p.astype(cd) for p in joint_params_from_variables(variables)]
+    _p = variables["params"] if "params" in variables else variables
+    is_espnet = "lin_enc" in _p["joint"]
+    if is_espnet:
+        from transformer_transducer_tpu.models.espnet_variant import (
+            joint_params_from_espnet_variables)
+        jp = joint_params_from_espnet_variables(variables)
+    else:
+        jp = joint_params_from_variables(variables)
+    w_enc, w_dec, b1, w_out, b_out = [p.astype(cd) for p in jp]
+    act = {"tanh": jnp.tanh, "relu": jax.nn.relu}[activation]
     # encoder-side joint projection of every frame, computed once;
     # padded so the per-row gate window never clamps at the sequence end
     enc_proj = enc_states.astype(cd) @ w_enc + b1              # (B, T, J)
     enc_proj = jnp.pad(enc_proj, ((0, 0), (0, k), (0, 0)))
 
     def joint_split(he: jax.Array, hd: jax.Array) -> jax.Array:
-        """tanh(enc-side + dec-side) @ W_out, f32 logits (broadcasting)."""
-        h = jnp.tanh((he + hd).astype(cd))
+        """act(enc-side + dec-side) @ W_out, f32 logits (broadcasting)."""
+        h = act((he + hd).astype(cd))
         return (h @ w_out + b_out).astype(jnp.float32)
 
     def compute_dec_proj(beams, counts):
@@ -132,8 +148,23 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
         return (dec.astype(cd) @ w_dec).reshape(b, w, -1)
 
     if use_cache:
-        from transformer_transducer_tpu.decoding import label_cache as lc
         params_tree = variables["params"] if "params" in variables else variables
+        if is_espnet:
+            from transformer_transducer_tpu.decoding import (
+                espnet_label_cache as _elc)
+            _left = int(getattr(model, "decoder_left_mask", 2))
+
+            def lc_step(tokens, cache, upd):
+                return _elc.step(params_tree, tokens, cache, upd, left=_left)
+
+            lc_init = lambda: _elc.init_cache(params_tree, b * w, max_tokens)
+        else:
+            from transformer_transducer_tpu.decoding import label_cache as lc
+
+            def lc_step(tokens, cache, upd):
+                return lc.step(params_tree, tokens, cache, upd)
+
+            lc_init = lambda: lc.init_cache(params_tree, b * w, max_tokens)
 
     def cond(state):
         return jnp.any(state[5] < t_len)
@@ -233,12 +264,12 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
                 return g2(rows.reshape(b, w, *rows.shape[1:])) \
                     .reshape(rows.shape)
 
-            gathered = {"k": [gboth(c) for c in cache["k"]],
+            gathered = {**cache,   # batch-independent leaves (espnet "pos")
+                        "k": [gboth(c) for c in cache["k"]],
                         "v": [gboth(c) for c in cache["v"]],
                         "idx": gboth(cache["idx"])}
             upd = (e & can_append).reshape(b * w)
-            x, new_cache = lc.step(params_tree, new_toks.reshape(b * w),
-                                   gathered, upd)
+            x, new_cache = lc_step(new_toks.reshape(b * w), gathered, upd)
             new_dp = (x.astype(cd) @ w_dec).reshape(b, w, -1)
             dp = jnp.where(can_append[:, :, None], new_dp, g2(dec_proj))
             dp = jnp.where(e[:, :, None], dp, dec_proj)
@@ -251,7 +282,8 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
                 m = row_e.reshape((-1,) + (1,) * (new.ndim - 1))
                 return jnp.where(m, new, old)
 
-            cache = {"k": [merge(nk, ok) for nk, ok
+            cache = {**cache,
+                     "k": [merge(nk, ok) for nk, ok
                            in zip(new_cache["k"], cache["k"])],
                      "v": [merge(nv, ov) for nv, ov
                            in zip(new_cache["v"], cache["v"])],
@@ -263,14 +295,14 @@ def _beam_run(model: Transducer, variables, enc_states: jax.Array,
                                        lambda args: args, (dec_proj, aux))
         return (beams, counts, probs, first, dec_proj, cur_t, cache)
 
-    beams0 = jnp.full((b, w, max_tokens), blank, jnp.int32)
+    beams0 = jnp.full((b, w, max_tokens), blank, jnp.int32) \
+        .at[:, :, 0].set(seed)
     counts0 = jnp.ones((b, w), jnp.int32)
     probs0 = jnp.zeros((b, w), jnp.float32)
     first0 = jnp.ones((b,), bool)
     if use_cache:
-        cache0 = lc.init_cache(params_tree, b * w, max_tokens)
-        x0, cache0 = lc.step(params_tree,
-                             jnp.full((b * w,), blank, jnp.int32), cache0,
+        cache0 = lc_init()
+        x0, cache0 = lc_step(jnp.full((b * w,), seed, jnp.int32), cache0,
                              jnp.ones((b * w,), bool))
         dp0 = (x0.astype(cd) @ w_dec).reshape(b, w, -1)
         aux0 = cache0
@@ -312,14 +344,16 @@ def recognize_beam(model: Transducer, variables, inputs: jax.Array,
     ``model.apply`` here would dispatch every encoder op individually,
     which against a remote-relay TPU backend costs ~25-100 ms PER OP."""
     params = variables["params"] if "params" in variables else variables
-    if "forward_layer" not in params.get("joint", {}):
-        raise ValueError(
-            "recognize_beam requires the native Transducer param layout; "
-            "use greedy decoding for the espnet family (see "
-            "beam_search_batched).")
+    is_espnet = "lin_enc" in params.get("joint", {})
+    if is_espnet:
+        seed = model.vocab_size - 1
+        activation = getattr(model, "joint_activation", "tanh") or "tanh"
+    else:
+        seed, activation = 0, "tanh"
     beams, counts, _ = _recognize_beam_run(model, beam_width, max_tokens,
                                            variables, inputs, t_len,
-                                           audio_mask)
+                                           audio_mask, is_espnet, seed,
+                                           activation)
     out = []
     for i in range(np.asarray(beams).shape[0]):
         n = int(np.asarray(counts)[i, 0])
@@ -327,12 +361,19 @@ def recognize_beam(model: Transducer, variables, inputs: jax.Array,
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 7, 8, 9))
 def _recognize_beam_run(model, beam_width, max_tokens, variables, inputs,
-                        t_len, audio_mask):
-    enc = model.apply(variables, inputs, audio_mask, method="encode")
+                        t_len, audio_mask, is_espnet=False, seed=0,
+                        activation="tanh"):
+    if is_espnet:
+        # espnet encode: second positional arg is the pad-mask lengths and
+        # its output length may be conv-subsampled
+        enc = model.apply(variables, inputs, t_len, method="encode")
+        t_len = model.encoded_lengths(t_len, inputs.shape[1])
+    else:
+        enc = model.apply(variables, inputs, audio_mask, method="encode")
     return _beam_run(model, variables, enc, t_len, beam_width, max_tokens,
-                     0, True)
+                     0, True, seed, activation)
 
 
 def beam_search_reference_exact(model: Transducer, variables,
