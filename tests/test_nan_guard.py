@@ -95,6 +95,7 @@ def test_trainer_aborts_after_consecutive_skips():
     t = Trainer.__new__(Trainer)   # bookkeeping only — no model needed
     t.max_skipped_steps = 3
     t._consecutive_skips = 0
+    t.total_skips = 0
     t.global_step = 0
 
     class _Log:

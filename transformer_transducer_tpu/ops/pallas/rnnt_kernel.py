@@ -3,15 +3,29 @@
 This is the TPU-native replacement for the reference's one native component,
 the CUDA warp-transducer loss (reference: ``train.py:13,231``).  The lattice
 recursion runs along anti-diagonals (see ``ops/rnnt_loss.py`` for the math):
-each step is a dense (B, U+1) vector op, so a whole batch-tile's DP lives in
+each step is a dense (B, U+1) vector op, so the whole wavefront lives in
 VMEM and sweeps with zero HBM traffic between steps — the XLA scan version
 round-trips carry state through HBM on every step boundary fusion break.
 
-Layout: diagonals on the sublane axis, lattice-u on the lane axis (padded to
-128), batch-tiled grid.  The u-shift between diagonals is a lane roll.
+Layout (round-4 rewrite): the grid iterates over CHUNKS of anti-diagonals
+with the wavefront carried across grid steps in a VMEM scratch row, and the
+FULL batch rides inside every block — ONE serial d-sweep regardless of B.
+The round-3 layout tiled the BATCH over the grid instead, which serialized
+batch tiles on the (single-core) chip: at B=32 the sweep ran 4 serial tile
+sweeps (4x the d-latency of B<=8) for no extra parallel work.  Measured on
+1x v5e at flagship lattice shapes (453 diagonals, U1p=128): alpha+beta
+back-to-back are 0.46 ms at B=4 and 0.37 ms at B=32 post-rewrite —
+batch-independent, as a wavefront sweep should be (DESIGN.md §2b).
+Chunking d keeps VMEM bounded for any batch: block bytes scale with
+``B * d_chunk * U1p`` and ``d_chunk`` shrinks to fit.
+
+For the alpha sweep the recurrence reads the PREVIOUS diagonal's log-probs
+(``alpha[d] <- sb[d-1], sl[d-1]``); the host wrapper shifts the grids down
+one d-row so every block row is self-contained (no cross-chunk reads).
 
 Contract matches ``rnnt_loss._alpha_scan`` / ``_beta_scan`` (those are the
-test oracles): inputs are pre-skewed diag-major grids.
+test oracles): inputs are pre-skewed diag-major grids; u sits on the lane
+axis (padded to 128) and the u-shift between diagonals is a lane roll.
 """
 
 from __future__ import annotations
@@ -42,48 +56,89 @@ def _pad_lanes(x: jax.Array) -> jax.Array:
     return x
 
 
-def _alpha_kernel(sb_ref, sl_ref, alpha_ref):
-    b, d_total, u1p = sb_ref.shape
+def _d_chunk(b: int, u1p: int, n_blocks: int, budget: int = 5 << 20) -> int:
+    """Anti-diagonal rows per grid step: as many as keep ``n_blocks``
+    (B, dc, u1p) f32 VMEM blocks under ``budget`` bytes, 8-row aligned.
+    Pallas double-buffers every block for grid pipelining, so the true VMEM
+    footprint is ~2x the budget — 5 MB stays under the 16 MB scoped limit."""
+    per_row = b * u1p * 4 * n_blocks
+    dc = max(8, min(256, budget // max(per_row, 1)))
+    return dc - dc % 8
+
+
+def _pad_d(x: jax.Array, dc: int) -> jax.Array:
+    """Pad the d axis (axis 1) to a chunk multiple with NEG rows."""
+    d = x.shape[1]
+    pad = (-d) % dc
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), constant_values=NEG)
+    return x
+
+
+def _shift_d(x: jax.Array) -> jax.Array:
+    """Row d of the result = row d-1 of the input (row 0 = NEG): aligns the
+    alpha recurrence's ``[d-1]`` reads with its ``[d]`` writes."""
+    return jnp.pad(x, ((0, 0), (1, 0), (0, 0)),
+                   constant_values=NEG)[:, :-1, :]
+
+
+def _alpha_kernel(sb_ref, sl_ref, alpha_ref, carry):
+    b, dc, u1p = sb_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, u1p), 1)
     first = (lane == 0)
-    alpha_ref[:, 0, :] = jnp.where(first, 0.0, NEG)
+    base = pl.program_id(0) * dc
 
-    def body(d, prev):
-        blank = prev + sb_ref[:, d - 1, :]
-        label = prev + sl_ref[:, d - 1, :]
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry[...] = jnp.where(first, 0.0, jnp.full((b, u1p), NEG))
+
+    def body(j, _):
+        d = base + j
+        prev = carry[...]
+        # sb/sl arrive d-shifted: row j here is the recurrence's row d-1
+        blank = prev + sb_ref[:, j, :]
+        label = prev + sl_ref[:, j, :]
         label = jnp.where(first, NEG, pltpu.roll(label, 1, axis=1))
         cur = _logaddexp(blank, label)
-        alpha_ref[:, d, :] = cur
-        return cur
+        # d == 0 is the init wavefront itself; rows past the true d_total
+        # are NEG padding (computed, sliced off by the wrapper)
+        cur = jnp.where(d == 0, prev, cur)
+        alpha_ref[:, j, :] = cur
+        carry[...] = cur
+        return 0
 
-    init = jnp.where(first, 0.0, jnp.full((b, u1p), NEG))
-    jax.lax.fori_loop(1, d_total, body, init)
+    jax.lax.fori_loop(0, dc, body, 0)
 
 
-def _beta_kernel(sb_ref, sl_ref, inject_ref, beta_ref):
-    b, d_total, u1p = sb_ref.shape
+def _beta_kernel(d_total_ref, sb_ref, sl_ref, inject_ref, beta_ref, carry):
+    b, dc, u1p = sb_ref.shape
+    d_total = d_total_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, u1p), 1)
     last = (lane == u1p - 1)
-    beta_ref[:, d_total - 1, :] = inject_ref[:, d_total - 1, :]
+    n_chunks = pl.num_programs(0)
+    base = (n_chunks - 1 - pl.program_id(0)) * dc
 
-    def body(i, nxt):
-        d = d_total - 2 - i
-        blank = sb_ref[:, d, :] + nxt
-        # left-shift = circular roll by (lanes - 1), wrap lane masked below
-        label = sl_ref[:, d, :] + jnp.where(last, NEG,
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry[...] = jnp.full((b, u1p), NEG)
+
+    def body(i, _):
+        j = dc - 1 - i                       # descending within the chunk
+        d = base + j
+        nxt = carry[...]
+        blank = sb_ref[:, j, :] + nxt
+        label = sl_ref[:, j, :] + jnp.where(last, NEG,
                                             pltpu.roll(nxt, u1p - 1, axis=1))
-        cur = _logaddexp(_logaddexp(blank, label), inject_ref[:, d, :])
-        beta_ref[:, d, :] = cur
-        return cur
+        cur = _logaddexp(_logaddexp(blank, label), inject_ref[:, j, :])
+        # terminal row: beta' = inject exactly; padding rows (d >= d_total)
+        # write NEG and must NOT touch the carried wavefront
+        cur = jnp.where(d == d_total - 1, inject_ref[:, j, :], cur)
+        pad_row = d > d_total - 1
+        beta_ref[:, j, :] = jnp.where(pad_row, NEG, cur)
+        carry[...] = jnp.where(pad_row, nxt, cur)
+        return 0
 
-    jax.lax.fori_loop(0, d_total - 1, body, inject_ref[:, d_total - 1, :])
-
-
-def _tile_batch(b: int) -> int:
-    for cand in (8, 4, 2, 1):
-        if b % cand == 0:
-            return cand
-    return 1
+    jax.lax.fori_loop(0, dc, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -91,45 +146,54 @@ def alpha_scan_pallas(skew_b: jax.Array, skew_l: jax.Array,
                       interpret: bool = False) -> jax.Array:
     """Diag-major alpha (B, D, U1) from pre-skewed grids."""
     b, d_total, u1 = skew_b.shape
-    sb = _pad_lanes(skew_b)
-    sl = _pad_lanes(skew_l)
+    sb = _shift_d(_pad_lanes(skew_b))
+    sl = _shift_d(_pad_lanes(skew_l))
     u1p = sb.shape[-1]
-    tb = _tile_batch(b)
+    dc = _d_chunk(b, u1p, n_blocks=3)
+    sb = _pad_d(sb, dc)
+    sl = _pad_d(sl, dc)
+    dp = sb.shape[1]
+    spec = pl.BlockSpec((b, dc, u1p), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _alpha_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, d_total, u1p), jnp.float32),
-        grid=(b // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, d_total, u1p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, d_total, u1p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, d_total, u1p), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, dp, u1p), jnp.float32),
+        grid=(dp // dc,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((b, u1p), jnp.float32)],
         interpret=interpret,
     )(sb, sl)
-    return out[..., :u1]
+    return out[:, :d_total, :u1]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def beta_scan_pallas(skew_b: jax.Array, skew_l: jax.Array,
                      inject: jax.Array, interpret: bool = False) -> jax.Array:
-    """Diag-major beta' (B, D, U1) from pre-skewed grids + terminal inject."""
+    """Diag-major beta' (B, D, U1) from pre-skewed grids + terminal inject.
+
+    Grid steps walk the d-chunks in REVERSE (the index map flips); the
+    wavefront rides the VMEM scratch backwards."""
     b, d_total, u1 = skew_b.shape
     sb = _pad_lanes(skew_b)
     sl = _pad_lanes(skew_l)
     inj = _pad_lanes(inject)
     u1p = sb.shape[-1]
-    tb = _tile_batch(b)
-    spec = pl.BlockSpec((tb, d_total, u1p), lambda i: (i, 0, 0),
+    dc = _d_chunk(b, u1p, n_blocks=4)
+    sb = _pad_d(sb, dc)
+    sl = _pad_d(sl, dc)
+    inj = _pad_d(inj, dc)
+    dp = sb.shape[1]
+    n_chunks = dp // dc
+    spec = pl.BlockSpec((b, dc, u1p), lambda i: (0, n_chunks - 1 - i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _beta_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, d_total, u1p), jnp.float32),
-        grid=(b // tb,),
-        in_specs=[spec, spec, spec],
+        out_shape=jax.ShapeDtypeStruct((b, dp, u1p), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec, spec],
         out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((b, u1p), jnp.float32)],
         interpret=interpret,
-    )(sb, sl, inj)
-    return out[..., :u1]
+    )(jnp.asarray([d_total], jnp.int32), sb, sl, inj)
+    return out[:, :d_total, :u1]

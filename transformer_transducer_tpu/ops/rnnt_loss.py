@@ -58,25 +58,39 @@ def _skew(lp: jax.Array) -> jax.Array:
 
     Rows of the result are the lattice anti-diagonals.  Out-of-range cells
     (d - u outside [0, T)) are NEG.
+
+    Implemented as a pad+reshape stride trick (the rel-shift family, §2 of
+    DESIGN.md), not a gather: column u must shift down by u, so viewing the
+    (U1, D+1)-padded transpose through a (U1, D) reshape re-reads each row
+    at stride D — ``flat[u*D + d] == padded[u, d - u]``, with both the tail
+    pad and the d < u wrap landing in NEG padding.  A ``take_along_axis``
+    over the non-minor T axis lowers to an elementwise gather that measured
+    7.4 ms per call at (32, 410, 43) on v5e vs 0.53 ms for this formulation
+    (14x; 0.23 ms at B=4 — DESIGN.md §1b).
     """
     b, t, u1 = lp.shape
     d_total = t + u1 - 1
-    d_idx = jnp.arange(d_total)[:, None]
-    u_idx = jnp.arange(u1)[None, :]
-    t_idx = d_idx - u_idx                                  # (D, U1)
-    valid = (t_idx >= 0) & (t_idx < t)
-    gathered = jnp.take_along_axis(
-        lp, jnp.clip(t_idx, 0, t - 1)[None].repeat(b, axis=0), axis=1)
-    return jnp.where(valid[None], gathered, NEG)
+    x = lp.transpose(0, 2, 1)                              # (B, U1, T)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, d_total + 1 - t)),
+                constant_values=NEG)                       # (B, U1, D+1)
+    flat = x.reshape(b, u1 * (d_total + 1))
+    out = flat[:, :u1 * d_total].reshape(b, u1, d_total)
+    return out.transpose(0, 2, 1)                          # (B, D, U1)
 
 
 def _unskew(skewed: jax.Array, t: int) -> jax.Array:
-    """Inverse of :func:`_skew`: (B, D, U1) -> (B, T, U1)."""
-    b, _, u1 = skewed.shape
-    t_idx = jnp.arange(t)[:, None]
-    u_idx = jnp.arange(u1)[None, :]
-    d_idx = (t_idx + u_idx)[None].repeat(b, axis=0)        # (B, T, U1)
-    return jnp.take_along_axis(skewed, d_idx, axis=1)
+    """Inverse of :func:`_skew`: (B, D, U1) -> (B, T, U1).
+
+    Same stride trick in reverse: reading the flattened (U1, D) rows at
+    stride D+1 shifts row u left by u — ``flat[u*(D+1) + tau] ==
+    skewed[tau + u, u]`` (the slice keeps every index in range).
+    """
+    b, d_total, u1 = skewed.shape
+    x = skewed.transpose(0, 2, 1)                          # (B, U1, D)
+    flat = x.reshape(b, u1 * d_total)
+    flat = jnp.pad(flat, ((0, 0), (0, u1)))                # len U1*(D+1)
+    out = flat.reshape(b, u1, d_total + 1)[:, :, :t]
+    return out.transpose(0, 2, 1)                          # (B, T, U1)
 
 
 def _shift_right_u(x: jax.Array, fill: float = NEG) -> jax.Array:
