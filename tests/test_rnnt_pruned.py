@@ -411,3 +411,94 @@ def test_banded_grids_match_full_joint_on_band():
                 if u < int(u_len[i]):
                     np.testing.assert_allclose(
                         float(bl[i, t, s]), float(fl[i, t, u]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Band-DP Pallas kernels (ops/pallas/band_kernel.py)
+# ---------------------------------------------------------------------------
+
+def _band_problem(seed, b, t, u, s_range):
+    """Random band grids + monotone rs honoring the bounds_from_occ
+    invariants (steps in [0, s_range-1], rs[0] = 0, rs <= u_len-S+1)."""
+    from transformer_transducer_tpu.ops.rnnt_loss_pruned import NEG
+    r = np.random.RandomState(seed)
+    lp_b = jnp.asarray(np.log(r.uniform(0.05, 1.0, (b, t, s_range))),
+                       jnp.float32)
+    lp_l = jnp.asarray(np.log(r.uniform(0.05, 1.0, (b, t, s_range))),
+                       jnp.float32)
+    t_len = jnp.asarray(r.randint(max(1, t // 2), t + 1, (b,)), jnp.int32)
+    u_len = jnp.asarray(r.randint(1, u + 1, (b,)), jnp.int32)
+    steps = r.randint(0, s_range, (b, t - 1))
+    rs = np.concatenate([np.zeros((b, 1), np.int64),
+                         np.cumsum(steps, axis=1)], axis=1)
+    rs = np.minimum(rs, np.maximum(np.asarray(u_len)[:, None]
+                                   - s_range + 1, 0))
+    rs = jnp.asarray(rs, jnp.int32)
+    uidx = np.asarray(rs)[:, :, None] + np.arange(s_range)[None, None, :]
+    lp_l = jnp.where(jnp.asarray(uidx < np.asarray(u_len)[:, None, None]),
+                     lp_l, NEG)
+    return lp_b, lp_l, rs, t_len, u_len
+
+
+@pytest.mark.parametrize("shape", [(2, 17, 9, 5), (3, 40, 20, 5),
+                                   (1, 8, 3, 3), (4, 25, 12, 7),
+                                   (2, 12, 40, 5)])
+def test_band_dp_pallas_interpret_matches_oracle(shape):
+    """Pallas band-DP sweeps (interpret mode) vs the XLA-scan oracle:
+    losses AND analytic-VJP gradients."""
+    from transformer_transducer_tpu.ops.rnnt_loss_pruned import (
+        rnnt_loss_banded_pallas)
+    lp_b, lp_l, rs, t_len, u_len = _band_problem(0, *shape)
+    want = rnnt_loss_banded_grid(lp_b, lp_l, rs, t_len, u_len)
+    got = rnnt_loss_banded_pallas(lp_b, lp_l, rs, t_len, u_len, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    go = jax.grad(lambda a, b: jnp.sum(rnnt_loss_banded_grid(
+        a, b, rs, t_len, u_len)), argnums=(0, 1))(lp_b, lp_l)
+    gp = jax.grad(lambda a, b: jnp.sum(rnnt_loss_banded_pallas(
+        a, b, rs, t_len, u_len, True)), argnums=(0, 1))(lp_b, lp_l)
+    for a, b in zip(go, gp):
+        # 1e-4-ish abs slack: with TTX_TEST_TPU=1 these interpret-mode
+        # arrays are computed by the TPU backend, whose transcendentals
+        # differ from the CPU oracle's in the last bits
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_band_dp_pallas_zero_length_rows():
+    """t_len = 0 rows yield loss 0 with zero gradients (oracle parity)."""
+    from transformer_transducer_tpu.ops.rnnt_loss_pruned import (
+        rnnt_loss_banded_pallas)
+    lp_b, lp_l, rs, _, u_len = _band_problem(3, 2, 10, 5, 5)
+    t_len = jnp.asarray([0, 7], jnp.int32)
+    want = rnnt_loss_banded_grid(lp_b, lp_l, rs, t_len, u_len)
+    got = rnnt_loss_banded_pallas(lp_b, lp_l, rs, t_len, u_len, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    g = jax.grad(lambda a: jnp.sum(rnnt_loss_banded_pallas(
+        a, lp_l, rs, t_len, u_len, True)))(lp_b)
+    assert np.all(np.asarray(g)[0] == 0.0)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.skipif(__import__("os").environ.get("TTX_TEST_TPU") != "1",
+                    reason="on-chip kernel check (TTX_TEST_TPU=1)")
+def test_band_dp_pallas_compiled_on_tpu():
+    """Compiled band-DP sweeps on the chip vs the XLA oracle (fwd+grads)."""
+    from transformer_transducer_tpu.ops.rnnt_loss_pruned import (
+        rnnt_loss_banded_pallas)
+    lp_b, lp_l, rs, t_len, u_len = _band_problem(1, 4, 150, 30, 5)
+    want = jax.jit(lambda a, b: rnnt_loss_banded_grid(
+        a, b, rs, t_len, u_len))(lp_b, lp_l)
+    got = jax.jit(lambda a, b: rnnt_loss_banded_pallas(
+        a, b, rs, t_len, u_len))(lp_b, lp_l)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    go = jax.jit(jax.grad(lambda a, b: jnp.sum(rnnt_loss_banded_grid(
+        a, b, rs, t_len, u_len)), argnums=(0, 1)))(lp_b, lp_l)
+    gp = jax.jit(jax.grad(lambda a, b: jnp.sum(rnnt_loss_banded_pallas(
+        a, b, rs, t_len, u_len)), argnums=(0, 1)))(lp_b, lp_l)
+    for a, b in zip(go, gp):
+        # analytic occupancies vs autodiff-through-scan differ by on-chip
+        # transcendental rounding (~3e-4 abs max at these shapes)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)
