@@ -42,6 +42,11 @@ def main():
                         "(trains the pinned-window banded function the "
                         "streaming session decodes with). Same as --set "
                         "parallel.n_seq=N")
+    parser.add_argument("--zero", action="store_true", default=None,
+                        help="ZeRO-1: shard optimizer moments over the "
+                        "data axis (params/grads stay replicated) — "
+                        "~1/n_data moment memory per device. Same as "
+                        "--set parallel.zero=true")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers in backward")
     parser.add_argument("--flash", action="store_true",
@@ -97,7 +102,7 @@ def main():
                       n_data=args.n_data, n_model=args.n_model,
                       remat=args.remat, flash=args.flash, banded=args.banded,
                       n_pipe=args.n_pipe, pipe_micro=args.pipe_micro,
-                      n_seq=args.n_seq)
+                      n_seq=args.n_seq, zero=args.zero)
     trainer.logger.info("JAX backend: %s, devices: %s", jax.default_backend(),
                         jax.devices())
     trainer.fit(epochs=args.epochs, augment=args.augment,

@@ -18,7 +18,8 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from transformer_transducer_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
+from transformer_transducer_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
+                                                      PIPE_AXIS)
 
 
 # column-parallel projections (output dim sharded): native QKV; espnet
@@ -92,13 +93,47 @@ def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = None) -> An
                                   is_leaf=lambda x: isinstance(x, P))
 
 
+def zero_param_shardings(params: Any, mesh: Mesh, pshardings: Any) -> Any:
+    """ZeRO-1 shardings: each leaf's sharding gains the DATA axis on its
+    largest still-unsharded, dp-divisible dimension.
+
+    Applied to the OPTIMIZER STATE only (``parallel.zero``): parameters and
+    gradients stay replicated across dp (the reference analog is
+    ``DataParallel``, ``/root/reference/train.py:216-218``), while momenta /
+    Adam moments / grad-accumulators shrink to 1/n_data per device — the
+    ZeRO stage-1 partition (Rajbhandari et al., arXiv:1910.02054, PAPERS.md).
+    GSPMD inserts the implied collectives: the moment update slices the
+    replicated gradient locally (free) and the parameter delta is
+    all-gathered once per step over ICI.  Leaves with no divisible free
+    dimension (tiny biases, scalars) stay as-is — the memory win lives in
+    the big kernels.  Composes with tp ('model' stays on its dim) and pp
+    (the stacked encoder's 'pipe' dim 0 is already taken; dims 1+ shard)."""
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+
+    def add_data(leaf, sh):
+        spec = tuple(sh.spec) + (None,) * (leaf.ndim - len(sh.spec))
+        if n_data <= 1 or leaf.ndim == 0:
+            return sh
+        free = [d for d in range(leaf.ndim)
+                if spec[d] is None and leaf.shape[d] % n_data == 0]
+        if not free:
+            return sh
+        d = max(free, key=lambda i: leaf.shape[i])
+        new = list(spec)
+        new[d] = DATA_AXIS
+        return NamedSharding(mesh, P(*new))
+
+    return jax.tree_util.tree_map(add_data, params, pshardings)
+
+
 def opt_state_shardings(opt_state: Any, params: Any, pspecs: Any,
                         mesh: Mesh) -> Any:
     """Shardings for an optax state: subtrees that mirror the param tree
     (momenta, grad accumulators, ...) inherit the param shardings; every
     other leaf (step counters, empty states) is replicated.  Keeps
     tensor-parallel / pipeline-sharded moments co-located with their
-    parameters instead of replicating them on every device."""
+    parameters instead of replicating them on every device.  Pass
+    :func:`zero_param_shardings` output as ``pspecs`` for ZeRO-1 moments."""
     ptree = jax.tree_util.tree_structure(params)
     repl = NamedSharding(mesh, P())
 

@@ -87,6 +87,9 @@ class TrainStepConfig:
     n_seq: int = 1
     # pinned window length for n_seq > 1 (0 -> pinned_window_len default)
     sp_window: int = 0
+    # parallel.zero: ZeRO-1 — shard optimizer moments over the 'data' axis
+    # (params/grads stay replicated); see sharding.zero_param_shardings
+    zero: bool = False
 
 
 def make_loss_fn(model, cfg: TrainStepConfig, reduction: str = "mean",
@@ -242,7 +245,9 @@ def compile_train_step(model: Transducer, tx: optax.GradientTransformation,
     parameters' shardings."""
     step = make_train_step(model, tx, cfg, mesh=mesh)
     pspecs = sharding_lib.param_shardings(params, mesh)
-    ospecs = sharding_lib.opt_state_shardings(opt_state, params, pspecs, mesh)
+    mspecs = (sharding_lib.zero_param_shardings(params, mesh, pspecs)
+              if cfg and cfg.zero else pspecs)
+    ospecs = sharding_lib.opt_state_shardings(opt_state, params, mspecs, mesh)
     bspec = mesh_lib.batch_sharding(mesh)
     rspec = mesh_lib.replicated(mesh)
     return jax.jit(
@@ -279,7 +284,9 @@ def compile_train_scan(model: Transducer, tx: optax.GradientTransformation,
         return p, o, ms
 
     pspecs = sharding_lib.param_shardings(params, mesh)
-    ospecs = sharding_lib.opt_state_shardings(opt_state, params, pspecs, mesh)
+    mspecs = (sharding_lib.zero_param_shardings(params, mesh, pspecs)
+              if cfg and cfg.zero else pspecs)
+    ospecs = sharding_lib.opt_state_shardings(opt_state, params, mspecs, mesh)
     bspec = mesh_lib.stacked_batch_sharding(mesh)
     rspec = mesh_lib.replicated(mesh)
     jitted = jax.jit(multi,

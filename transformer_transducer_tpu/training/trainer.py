@@ -48,7 +48,8 @@ class Trainer:
                  flash: bool = False, banded: bool = False,
                  n_pipe: Optional[int] = None,
                  pipe_micro: Optional[int] = None,
-                 n_seq: Optional[int] = None):
+                 n_seq: Optional[int] = None,
+                 zero: Optional[bool] = None):
         self.config = config
         self.mode = mode
         self.exp_dir = os.path.join(exp_root, config.data.name or "exp",
@@ -87,6 +88,10 @@ class Trainer:
                               else (pcfg.pipe_micro or 0)) or 2 * self.n_pipe
         self.n_seq = int(n_seq if n_seq is not None else (pcfg.n_seq or 1))
         self.sp_window = int(pcfg.sp_window or 0)
+        # parallel.zero: ZeRO-1 — optimizer moments shard over the data
+        # axis (params/grads stay replicated); ~1/n_data moment memory per
+        # device for one param-sized all-gather per step (DESIGN.md §4)
+        self.zero = bool(zero if zero is not None else pcfg.zero)
         batch = config.data.batch_size or 1
         if self.n_pipe > 1:
             if self.is_espnet:
@@ -237,7 +242,8 @@ class Trainer:
                                         n_pipe=self.n_pipe,
                                         pipe_micro=self.pipe_micro,
                                         n_seq=self.n_seq,
-                                        sp_window=self.sp_window)
+                                        sp_window=self.sp_window,
+                                        zero=self.zero)
         self.max_skipped_steps = int(config.training.max_skipped_steps or 25)
         self._consecutive_skips = 0
         self.total_skips = 0    # lifetime nan-guard trips (observability)
