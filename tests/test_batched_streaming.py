@@ -151,3 +151,51 @@ def test_batched_espnet_streams_match_solo_sessions():
         solo.finalize()
         assert results[i] == solo.result, (
             f"stream {i}: batched {results[i]} != solo {solo.result}")
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching (per-slot turnover; streaming/batched.py::serve_files)
+# ---------------------------------------------------------------------------
+
+def _solo_results(model, variables, wavs, cfg_fn=_cfg):
+    outs = []
+    for wav in wavs:
+        s = StreamingSession(model, variables, cfg_fn())
+        s.accept_waveform(wav)
+        s.finalize()
+        outs.append((s.result, s.timestamps))
+    return outs
+
+
+def test_continuous_slot_reuse():
+    """5 mixed-length utterances through 2 slots with per-slot turnover:
+    every utterance's tokens AND timestamps equal its solo session —
+    i.e. resetting a drained slot mid-flight never disturbs the stream
+    still decoding next to it."""
+    model, variables = _model(seed=7)
+    wavs = [_wav(s, 9000 + 2600 * (s % 3)) for s in range(5)]
+    solo = _solo_results(model, variables, wavs)
+
+    batched = BatchedStreamingSession(model, variables, _cfg(), n_streams=2)
+    results = batched.serve_files(wavs)
+    for k in range(len(wavs)):
+        assert results[k] == solo[k][0], (
+            f"utt {k}: continuous {results[k]} != solo {solo[k][0]}")
+        assert batched.last_meta[k]["timestamps"] == solo[k][1]
+
+
+def test_continuous_slot_reuse_incremental():
+    """Continuous batching composes with the cached-encoder rounds: the
+    per-slot cache reset restores a fresh encoder state for the admitted
+    stream while surviving streams' caches are untouched."""
+    model, variables = _model(seed=9)
+    wavs = [_wav(10 + s, 8000 + 3100 * (s % 2)) for s in range(4)]
+    solo = _solo_results(model, variables, wavs)
+
+    batched = BatchedStreamingSession(model, variables, _cfg(), n_streams=2,
+                                      incremental=True)
+    results = batched.serve_files(wavs)
+    for k in range(len(wavs)):
+        assert results[k] == solo[k][0], (
+            f"utt {k}: continuous-incremental {results[k]} != solo "
+            f"{solo[k][0]}")

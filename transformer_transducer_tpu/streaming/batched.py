@@ -489,6 +489,126 @@ class BatchedStreamingSession:
                 self.variables, self._buf, self._count)
         return self._dec_state
 
+    # ------------------------------------------------------------------
+    # Continuous batching: per-slot lifecycle (beyond-reference serving).
+    # A slot whose stream has drained can be reset and re-admitted while
+    # the other streams keep decoding — no gang scheduling, so one long
+    # utterance never head-of-line-blocks the batch.
+    # ------------------------------------------------------------------
+
+    def stream_done(self, i: int) -> bool:
+        """True when stream ``i`` is finalized and fully drained (no
+        feature rows or flush rows left to decode) — the slot can be
+        ``reset_streams([i])`` and given a new caller."""
+        st = self.streams[i]
+        if not st.finished:
+            return False
+        self._advance_features(st)
+        total = st.sub_base + st.subsampled.shape[0]
+        if self.incremental:
+            if not st.flushed:
+                return total == 0       # finalized with no decodable audio
+            return st.fed >= total and st.pending_flush <= 0
+        return st.win_feature_position >= total
+
+    def reset_streams(self, slots: List[int]) -> None:
+        """Reset the given slots to fresh streams, leaving every other
+        stream's host and device state untouched.
+
+        Exactness: the per-frame scan maintains ``dec_state`` as a PURE
+        FUNCTION of the label ring (``predict_last(buf, count)``, see
+        ``_make_frame_scan``), so after the ring rows are re-seeded the
+        whole dec state is recomputed from the rings on the next round —
+        bit-identical for the surviving streams (tested in
+        ``tests/test_batched_streaming.py::test_continuous_slot_reuse``).
+        All slots reset in ONE jitted masked update (one dispatch), not a
+        scatter per slot."""
+        if not slots:
+            return
+        mask = np.zeros((self.n,), np.bool_)
+        for i in slots:
+            mask[i] = True
+            self.streams[i] = _StreamState(self.cfg, self._d)
+        if not hasattr(self, "_slot_reset"):
+            cap = self.cfg.label_history + 1
+            seed = int(self.cfg.seed_token)
+
+            @jax.jit
+            def slot_reset(mask, buf, count, blank_run, emitted_any):
+                m = mask[:, None]
+                fresh = jnp.zeros_like(buf).at[:, 0].set(seed)
+                return (jnp.where(m, fresh, buf),
+                        jnp.where(mask, 1, count),
+                        jnp.where(mask, 0, blank_run),
+                        jnp.where(mask, 0, emitted_any))
+
+            self._slot_reset = slot_reset
+        m = jnp.asarray(mask)
+        (self._buf, self._count, self._blank_run,
+         self._emitted_any) = self._slot_reset(
+            m, self._buf, self._count, self._blank_run, self._emitted_any)
+        self._dec_state = None          # recomputed from the rings
+        if self.incremental:
+            from transformer_transducer_tpu.streaming.incremental import (
+                init_cache)
+            n_layer, d_model = self._inc_geom
+            one = init_cache(n_layer, self.cfg.left_context,
+                             self.cfg.right_context, d_model)
+            if not hasattr(self, "_cache_reset"):
+                @jax.jit
+                def cache_reset(mask, cache, one):
+                    return jax.tree_util.tree_map(
+                        lambda c, o: jnp.where(
+                            mask.reshape((-1,) + (1,) * (c.ndim - 1)),
+                            jnp.broadcast_to(o, c.shape), c), cache, one)
+                self._cache_reset = cache_reset
+            self._cache = self._cache_reset(m, self._cache, one)
+
+    def serve_files(self, waves: List[np.ndarray],
+                    max_rounds: int = 100000) -> List[List[int]]:
+        """Continuous-batching file server: decode ``len(waves)`` utterances
+        through ``n_streams`` slots, admitting the next utterance into a
+        slot the moment its stream drains (per-slot turnover; contrast the
+        gang-scheduled group mode in ``apps/serve.py``, where the whole
+        batch waits for its longest member).  Returns per-utterance token
+        sequences in input order; per-utterance timestamps/confidences land
+        in ``self.last_meta`` (same order)."""
+        self.reset()
+        pending = list(range(len(waves)))
+        active = {}                      # slot -> utterance index
+        results: List[Optional[List[int]]] = [None] * len(waves)
+        self.last_meta = [None] * len(waves)
+
+        def admit(slot):
+            k = pending.pop(0)
+            active[slot] = k
+            self.accept_waveform(slot, waves[k])
+            self.finalize(slot)
+
+        for slot in range(self.n):
+            if pending:
+                admit(slot)
+        rounds = 0
+        while active and rounds < max_rounds:
+            self.process()
+            rounds += 1
+            freed = [s for s in active if self.stream_done(s)]
+            for slot in freed:
+                k = active.pop(slot)
+                st = self.streams[slot]
+                results[k] = list(st.result)
+                self.last_meta[k] = {"timestamps": list(st.timestamps),
+                                     "confidences": list(st.confidences),
+                                     "segments": [list(s) for s in
+                                                  st.segments if s]}
+            if freed:
+                self.reset_streams(freed)
+                for slot in freed:
+                    if pending:
+                        admit(slot)
+        assert not active, f"serve_files exceeded {max_rounds} rounds"
+        return results
+
     def run_to_completion(self, max_rounds: int = 10000) -> List[List[int]]:
         """Drain all streams (they must all be finalized first).
 
