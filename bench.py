@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — timeout-proof, incremental, budgeted.
 
 Headline metric (BASELINE.md north star): offline encode+greedy-decode
 real-time factor on the AISHELL-1 config (4-layer encoder, d_model 512,
@@ -7,11 +7,31 @@ T=410 frames = 12.3 s audio/utt at the 30 ms frame rate).  ``vs_baseline``
 is the multiple of the 20x-real-time-per-chip target (BASELINE.json); the
 reference itself publishes no RTF numbers (SURVEY.md §6).
 
-Extra sub-benchmarks (train step, RNN-T loss kernel) print on stderr so the
-driver contract (one stdout JSON line) holds.
+Survivability contract (VERDICT r4 #1 — the round-4 run was killed by the
+driver with zero parseable output):
+
+* sections run **most-load-bearing first** and each is individually
+  try/except-guarded;
+* the cumulative results JSON reprints on **stderr after every section**
+  (same keys, so the tail of a killed run always parses to the latest
+  superset);
+* the stdout headline line prints **as soon as the headline section
+  lands**, and the final version reprints at the end (the driver takes the
+  last stdout JSON line);
+* a wall-clock budget (env ``TTX_BENCH_BUDGET_S``, default 1500 s) skips
+  remaining sections once exceeded, recording them under
+  ``bench_skipped``;
+* SIGTERM/SIGINT flush both JSON lines before exiting, so even a hard
+  driver kill leaves driver-parseable numbers.
+
+Cold-compile cost is cut by sharing constructed models/params across
+sections (``_PARTS``) and by deriving the encoder-MFU and bf16-chain
+numbers from ONE compiled program instead of two identical ones.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -19,6 +39,59 @@ import jax
 import jax.numpy as jnp
 
 FRAME_SECONDS = 0.03  # 10 ms hop x subsample 3
+
+# ---------------------------------------------------------------------------
+# survivability state: cumulative results + budget (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+RESULTS = {}          # cumulative cross-section results (the stderr JSON)
+SKIPPED = []          # sections dropped by the wall-clock budget
+SECTION_S = {}        # per-section wall seconds (the r5 cost map)
+T_START = time.time()
+BUDGET_S = float(os.environ.get("TTX_BENCH_BUDGET_S", "1500"))
+HEADLINE_KEY = "offline_encode_greedy_x_realtime_aishell"
+
+# shared constructed parts (model + initialized variables) so sections stop
+# paying duplicate remote init compiles for the same geometry
+_PARTS = {}
+
+
+def _copy_tree(t):
+    """Fresh container structure, shared array leaves — so sections that
+    MUTATE a variables dict (the gate-density rigs) cannot corrupt the
+    shared ``_PARTS`` cache."""
+    return jax.tree_util.tree_map(lambda a: a, t)
+
+
+def _emit_cumulative():
+    out = dict(RESULTS)
+    out["bench_skipped"] = list(SKIPPED)
+    out["bench_section_s"] = {k: round(v, 1) for k, v in SECTION_S.items()}
+    out["bench_wall_s"] = round(time.time() - T_START, 1)
+    print(json.dumps(out), file=sys.stderr, flush=True)
+
+
+def _emit_headline(force=False):
+    rtf = RESULTS.get(HEADLINE_KEY)
+    if rtf is None and not force:
+        return
+    line = {
+        "metric": HEADLINE_KEY,
+        "value": round(rtf, 2) if rtf is not None else 0.0,
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 20.0, 2) if rtf is not None else 0.0,
+    }
+    if rtf is None:   # still parseable: a 0 beats a dead artifact
+        line["error"] = "headline section did not complete"
+    print(json.dumps(line), flush=True)
+
+
+def _on_signal(signum, frame):
+    SKIPPED.append(f"(signal {signum})")
+    _emit_cumulative()
+    _emit_headline()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(1)
 
 # bf16 peak of the bench chip (1x TPU v5e = 197 TFLOP/s); override with
 # TTX_PEAK_FLOPS when benching elsewhere
@@ -83,23 +156,38 @@ def _best_of(fn, *args, repeats=3, divisor=1):
     return best
 
 
+def _aishell_parts():
+    """Shared aishell-config model + initialized variables (one remote init
+    compile for every aishell section: offline RTF, beam, encode chains)."""
+    if "aishell" not in _PARTS:
+        from transformer_transducer_tpu.models.transducer import Transducer
+        model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
+                           dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
+                           compute_dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        # jit the init: EAGER init is hundreds of per-op dispatches (and,
+        # cold, hundreds of tiny server-side op compiles) through the relay
+        # — measured 87 s eager vs 9 s jitted for this model (r5 probe)
+        variables = jax.jit(model.init)(rng, jnp.zeros((1, 8, 512)),
+                                        jnp.zeros((1, 4), jnp.int32))
+        _PARTS["aishell"] = (model, variables)
+    return _PARTS["aishell"]
+
+
 def bench_offline_rtf(batch=8, t=410, u_cap=43, int8=False):
     """Encoder + batched greedy decode on the aishell config.
 
     ``int8``: the W8A8 serving path (ops/quant.py) — s8 MXU matmuls for
     every projection, dynamic activation scales."""
-    from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.decoding.greedy import greedy_decode
+    from transformer_transducer_tpu.models.transducer import Transducer
 
-    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                       compute_dtype=jnp.bfloat16)
+    model, params = _aishell_parts()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
-    params = model.init(rng, x[:, :8], jnp.zeros((batch, 4), jnp.int32))
     if int8:
         from transformer_transducer_tpu.models.factory import to_quant
-        model, params = to_quant(model, params)
+        model, params = to_quant(model, _copy_tree(params))
     t_len = jnp.full((batch,), t)
 
     # params as jit ARGUMENTS (framework rule: closures bake them into the
@@ -122,25 +210,22 @@ def bench_train_step(batch=4, t=410, u=42, n_chain=8):
     25-100 ms per-call dispatch amortizes away and the number reflects chip
     throughput — exactly what a pipelined/scanned training loop achieves.
     """
-    from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.training import optim as optim_lib
     from transformer_transducer_tpu.training.train_step import (
         TrainStepConfig, make_train_step)
     from transformer_transducer_tpu.utils.config import Config
 
-    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                       compute_dtype=jnp.bfloat16)
+    model, variables = _aishell_parts()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
     y = jax.random.randint(jax.random.PRNGKey(1), (batch, u), 1, 4334)
     batch_d = {"inputs": x, "targets": y,
                "inputs_length": jnp.full((batch,), t),
                "targets_length": jnp.full((batch,), u)}
-    params = model.init(rng, x[:, :8], y[:, :4])["params"]
+    params = variables["params"]
     tx = optim_lib.build_optimizer(
         Config({"type": "sgd", "lr": 2.5e-4, "momentum": 0.9}), 200.0)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)  # eager init = per-leaf dispatches
     step = make_train_step(model, tx, TrainStepConfig(
         compute_dtype=jnp.bfloat16, loss_chunk_size=16))
 
@@ -157,54 +242,27 @@ def bench_train_step(batch=4, t=410, u=42, n_chain=8):
                     divisor=n_chain) * 1e3  # ms/step
 
 
-def bench_encode_int8_ms(batch=16, t=410, n_chain=64):
-    """Encoder-only chain time, bf16 vs int8 (W8A8), same shapes as
-    bench_encode_mfu — isolates the s8-MXU win on the projection matmuls
-    (the attention einsums stay bf16 in both)."""
-    from transformer_transducer_tpu.models.factory import to_quant
+def _encode_chain_s(int8, batch=16, t=410, n_chain=64):
+    """Best per-application seconds of an ``n_chain``-long encoder chain
+    (aishell config).  ONE compiled program serves both the MFU and the
+    bf16-vs-int8 sections (they previously compiled the identical HLO
+    twice — pure cold-cache waste).  ``n_chain`` encoder applications chain
+    inside one jit (the output is d_model-sized like the input, so each
+    feeds the next): a single encode is ~4 ms of chip time, far below the
+    relay dispatch floor; 64 applications keep the residual per-call
+    dispatch share under ~10 % (the round-2 16-chains under-reported MFU by
+    ~25 %).  See DESIGN.md §2a for the roofline decomposition."""
+    key = ("encode_chain", int8, batch, t, n_chain)
+    if key in _PARTS:
+        return _PARTS[key]
     from transformer_transducer_tpu.models.transducer import Transducer
 
-    def run(int8):
-        model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                           dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                           compute_dtype=jnp.bfloat16)
-        rng = jax.random.PRNGKey(0)
-        x = jax.random.normal(rng, (batch, t, 512))
-        params = model.init(rng, x[:1, :8], jnp.zeros((1, 4), jnp.int32))
-        if int8:
-            model, params = to_quant(model, params)
-
-        @jax.jit
-        def chain(params, x):
-            def body(c, _):
-                out = model.apply(params, c, None, method=Transducer.encode)
-                return out * 1e-3 + x, None
-            out, _ = jax.lax.scan(body, x, None, length=n_chain)
-            return jnp.sum(out)
-
-        return _best_of(chain, params, x, divisor=n_chain) * 1e3
-
-    return run(False), run(True)
-
-
-def bench_encode_mfu(batch=16, t=410, n_chain=64):
-    """Encoder-only MFU at a saturating batch (aishell config, bf16).
-
-    ``n_chain`` encoder applications chain inside one program (the output is
-    d_model-sized like the input, so each feeds the next) — a single encode
-    is ~4 ms of chip time, far below the relay dispatch floor; 64
-    applications keep the residual per-call dispatch share under ~10 %
-    (the round-2 16-chains under-reported MFU by ~25 %).  See DESIGN.md
-    §2a for the measured roofline decomposition of this number.
-    """
-    from transformer_transducer_tpu.models.transducer import Transducer
-
-    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                       compute_dtype=jnp.bfloat16)
+    model, params = _aishell_parts()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
-    params = model.init(rng, x[:1, :8], jnp.zeros((1, 4), jnp.int32))
+    if int8:
+        from transformer_transducer_tpu.models.factory import to_quant
+        model, params = to_quant(model, _copy_tree(params))
 
     @jax.jit
     def chain(params, x):
@@ -215,23 +273,55 @@ def bench_encode_mfu(batch=16, t=410, n_chain=64):
         return jnp.sum(out)
 
     best = _best_of(chain, params, x, divisor=n_chain)
+    _PARTS[key] = best
+    return best
+
+
+def bench_encode_int8_ms(batch=16, t=410, n_chain=64):
+    """Encoder-only chain time, bf16 vs int8 (W8A8) — isolates the s8-MXU
+    win on the projection matmuls (attention einsums stay bf16 in both)."""
+    return (_encode_chain_s(False, batch, t, n_chain) * 1e3,
+            _encode_chain_s(True, batch, t, n_chain) * 1e3)
+
+
+def bench_encode_mfu(batch=16, t=410, n_chain=64):
+    """Encoder-only MFU at a saturating batch (aishell config, bf16)."""
+    best = _encode_chain_s(False, batch, t, n_chain)
     flops = transducer_flops(batch, t, 0, 0, include_joint=False)
     return flops / best / PEAK_FLOPS
+
+
+def _espnet_parts():
+    """Shared espnet-family config + model + initialized variables (one
+    remote init compile for the espnet train/streaming/multistream
+    sections)."""
+    if "espnet" not in _PARTS:
+        from transformer_transducer_tpu.models.espnet_variant import (
+            build_espnet_transducer)
+        from transformer_transducer_tpu.utils.config import load_config
+        cfg = load_config(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "configs",
+            "espnet_aishell.yaml"))
+        model = build_espnet_transducer(cfg.model, compute_dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        # jitted init: see _aishell_parts
+        variables = jax.jit(model.init)(
+            rng, jnp.zeros((1, 8, 512)), jnp.asarray([8]),
+            jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+        _PARTS["espnet"] = (cfg, model, variables)
+    return _PARTS["espnet"]
 
 
 def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
     """ESPnet-family training step (configs/espnet_aishell.yaml shapes:
     8-block encoder, 2-block text encoder, additive joint, vocab 4233),
     scan-chained like bench_train_step."""
-    from transformer_transducer_tpu.models.espnet_variant import (
-        build_espnet_transducer)
     from transformer_transducer_tpu.training import optim as optim_lib
     from transformer_transducer_tpu.training.train_step import (
         TrainStepConfig, make_train_step)
-    from transformer_transducer_tpu.utils.config import Config, load_config
+    from transformer_transducer_tpu.utils.config import Config
 
-    cfg = load_config("configs/espnet_aishell.yaml")
-    model = build_espnet_transducer(cfg.model, compute_dtype=jnp.bfloat16)
+    cfg, model, variables = _espnet_parts()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
     y = jax.random.randint(jax.random.PRNGKey(1), (batch, u), 1, 4233)
@@ -239,11 +329,10 @@ def bench_train_step_espnet(batch=4, t=410, u=42, n_chain=8):
     u_len = jnp.full((batch,), u)
     batch_d = {"inputs": x, "targets": y,
                "inputs_length": t_len, "targets_length": u_len}
-    params = model.init(rng, x[:1, :8], t_len[:1] * 0 + 8, y[:1, :4],
-                        u_len[:1] * 0 + 4)["params"]
+    params = variables["params"]
     tx = optim_lib.build_optimizer(
         Config({"type": "sgd", "lr": 2.5e-4, "momentum": 0.9}), 200.0)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)  # eager init = per-leaf dispatches
     step = make_train_step(model, tx, TrainStepConfig(
         compute_dtype=jnp.bfloat16, loss_chunk_size=16))
 
@@ -272,26 +361,23 @@ def bench_train_step_flagship(batch=4, t=410, u=42, n_chain=4,
     model FLOPs (pruning is a work REDUCTION; utilization of the smaller
     workload is not comparable) — read the ms, not the MFU, for this
     variant."""
-    from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.training import optim as optim_lib
     from transformer_transducer_tpu.training.train_step import (
         TrainStepConfig, make_train_step)
     from transformer_transducer_tpu.utils.config import Config
 
     v = 6485
-    model = Transducer(vocab_size=v, enc=(18, 410, 8, 512, 64, 2048),
-                       dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
-                       compute_dtype=jnp.bfloat16)
+    model, variables = _flagship_parts()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
     y = jax.random.randint(jax.random.PRNGKey(1), (batch, u), 1, v)
     batch_d = {"inputs": x, "targets": y,
                "inputs_length": jnp.full((batch,), t),
                "targets_length": jnp.full((batch,), u)}
-    params = model.init(rng, x[:1, :8], y[:1, :4])["params"]
+    params = variables["params"]
     tx = optim_lib.build_optimizer(
         Config({"type": "sgd", "lr": 2e-4, "momentum": 0.9}), 200.0)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)  # eager init = per-leaf dispatches
     step = make_train_step(model, tx, TrainStepConfig(
         compute_dtype=jnp.bfloat16, loss_chunk_size=16,
         loss_pruned_range=pruned_range))
@@ -311,16 +397,27 @@ def bench_train_step_flagship(batch=4, t=410, u=42, n_chain=4,
     return ms, flops / (ms / 1e3) / PEAK_FLOPS
 
 
+def _flagship_parts():
+    """Shared flagship model (configs/joint_streaming.yaml dims) +
+    initialized variables — one remote init compile for the flagship
+    train/streaming/multistream/beam sections."""
+    if "flagship" not in _PARTS:
+        from transformer_transducer_tpu.models.transducer import Transducer
+        model = Transducer(vocab_size=6485, enc=(18, 410, 8, 512, 64, 2048),
+                           dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
+                           compute_dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        # jitted init: see _aishell_parts (18 eager layers would be minutes)
+        variables = jax.jit(model.init)(rng, jnp.zeros((1, 8, 512)),
+                                        jnp.zeros((1, 4), jnp.int32))
+        _PARTS["flagship"] = (model, variables)
+    return _PARTS["flagship"]
+
+
 def _flagship_streaming_parts():
-    from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.streaming.session import StreamingConfig
 
-    model = Transducer(vocab_size=6485, enc=(18, 410, 8, 512, 64, 2048),
-                       dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
-                       compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 8, 512)),
-                           jnp.zeros((1, 4), jnp.int32))
+    model, variables = _flagship_parts()
     # flagship halos: 18 layers x 10/2 = 180 left / 36 right frames
     cfg = StreamingConfig(left_context=10, right_context=2, n_layer=18,
                           feature_dim=128)
@@ -334,19 +431,29 @@ def _pin_gate_density(model, variables, enc_rows, density):
     and set the blank bias at the (1-density)-quantile of the gate margin
     over ``enc_rows`` (N, D): the gate then fires on ~``density`` of
     frames with identical compute shapes.  Shared by the beam and
-    streaming controlled-density benches."""
+    streaming controlled-density benches.
+
+    Returns a FRESH variables tree (the inputs may come from the shared
+    ``_PARTS`` cache, which in-place mutation would corrupt)."""
+    variables = _copy_tree(variables)
     joint = variables["params"]["joint"]
     w1 = joint["forward_layer"]["kernel"]
     d_enc = w1.shape[0] // 2
     joint["forward_layer"]["kernel"] = w1.at[d_enc:].set(0.0)
-    dec0 = model.apply(variables, jnp.zeros((1, 1), jnp.int32), None,
-                       method="predict")[:, 0]
-    logits = model.apply(
-        variables, enc_rows,
-        jnp.broadcast_to(dec0, (enc_rows.shape[0], dec0.shape[-1])),
-        method="joint_logits")
-    diff = jnp.max(logits[:, 1:], axis=-1) - logits[:, 0]
-    bias = float(jnp.quantile(diff.astype(jnp.float32), 1.0 - density))
+
+    # one jitted program (eager model.apply = per-op relay dispatches)
+    @jax.jit
+    def gate_margin(variables, enc_rows):
+        dec0 = model.apply(variables, jnp.zeros((1, 1), jnp.int32), None,
+                           method="predict")[:, 0]
+        logits = model.apply(
+            variables, enc_rows,
+            jnp.broadcast_to(dec0, (enc_rows.shape[0], dec0.shape[-1])),
+            method="joint_logits")
+        diff = jnp.max(logits[:, 1:], axis=-1) - logits[:, 0]
+        return jnp.quantile(diff.astype(jnp.float32), 1.0 - density)
+
+    bias = float(gate_margin(variables, enc_rows))
     joint["project_layer"]["bias"] = \
         joint["project_layer"]["bias"].at[0].add(bias)
     return variables
@@ -367,7 +474,8 @@ def _controlled_density_variables(model, variables, wav, cfg,
     t = min(feats.shape[0], 256)
     x = jnp.asarray(feats[None, :t])
     mask = context_mask(t, cfg.left_context, cfg.right_context)
-    enc = model.apply(variables, x, mask, method=Transducer.encode)[0]
+    enc = jax.jit(lambda v, x, m: model.apply(
+        v, x, m, method=Transducer.encode))(variables, x, mask)[0]
     return _pin_gate_density(model, variables, enc, density)
 
 
@@ -515,6 +623,53 @@ def bench_multistream_flagship(n_streams=8, seconds=30, incremental=False):
     return n_streams * seconds / dt
 
 
+def bench_serve_continuous(n_streams=8, n_groups=2):
+    """Continuous batching vs gang scheduling (VERDICT r4 #3): decode the
+    same skewed file set — per group of ``n_streams``, one 30 s utterance
+    and seven 8 s ones — through (a) the gang-scheduled group mode
+    (``apps/serve.py`` default: every slot waits for the group's longest
+    member) and (b) ``serve_files`` per-slot turnover.  Returns
+    (gang_x_rt, continuous_x_rt, slot_utilization).  aishell config."""
+    import numpy as np
+    from transformer_transducer_tpu.streaming.batched import (
+        BatchedStreamingSession)
+    from transformer_transducer_tpu.streaming.session import StreamingConfig
+
+    model, variables = _aishell_parts()
+    cfg = StreamingConfig(left_context=10, right_context=2, n_layer=4,
+                          feature_dim=128)
+    session = BatchedStreamingSession(model, variables, cfg, n_streams)
+    rs = np.random.RandomState(0)
+    durs = ([30] + [8] * (n_streams - 1)) * n_groups
+    waves = [(rs.randn(16000 * s) * 3000).astype("int16") for s in durs]
+    audio_s = float(sum(durs))
+
+    def gang():
+        for base in range(0, len(waves), n_streams):
+            session.reset()
+            grp = waves[base:base + n_streams]
+            for i, w in enumerate(grp):
+                session.accept_waveform(i, w)
+                session.finalize(i)
+            for i in range(len(grp), n_streams):
+                session.finalize(i)
+            session.run_to_completion()
+
+    gang()                       # warm (compiles)
+    session.serve_files(waves)
+    t_gang = t_cont = 1e9
+    util = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        gang()
+        t_gang = min(t_gang, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        session.serve_files(waves)
+        t_cont = min(t_cont, time.perf_counter() - t0)
+        util = session.last_stats["slot_utilization"]
+    return audio_s / t_gang, audio_s / t_cont, util
+
+
 def bench_rnnt_loss_cpu_ms(batch=4, t=410, u=42, v=4334):
     """CPU fwd+bwd time of the SAME fused RNN-T loss at matched shapes — the
     denominator for the ">=5x CPU warp-rnnt" north star (BASELINE.md:25).
@@ -582,21 +737,14 @@ def bench_beam_rtf(batch=8, t=410, width=5, emission_density=None,
     from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.decoding.beam import beam_search_batched
 
-    if flagship:
-        model = Transducer(vocab_size=6485, enc=(18, 410, 8, 512, 64, 2048),
-                           dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
-                           compute_dtype=jnp.bfloat16)
-    else:
-        model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                           dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                           compute_dtype=jnp.bfloat16)
+    model, variables = _flagship_parts() if flagship else _aishell_parts()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, t, 512))
-    variables = model.init(rng, x[:, :8], jnp.zeros((batch, 4), jnp.int32))
     t_len = jnp.full((batch,), t)
 
     if emission_density is not None:
-        enc = model.apply(variables, x, None, method=Transducer.encode)
+        enc = jax.jit(lambda v, x: model.apply(
+            v, x, None, method=Transducer.encode))(variables, x)
         variables = _pin_gate_density(model, variables,
                                       enc.reshape(batch * t, -1),
                                       emission_density)
@@ -654,16 +802,10 @@ def bench_streaming_rtf(seconds=30):
       of audio, so RTF_cadence = 970 / latency_ms).
     """
     import numpy as np
-    from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.streaming.session import (
         StreamingConfig, StreamingSession)
 
-    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                       compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 8, 512)),
-                           jnp.zeros((1, 4), jnp.int32))
+    model, variables = _aishell_parts()
     cfg = StreamingConfig(left_context=10, right_context=2, n_layer=4,
                           feature_dim=128)
     session = StreamingSession(model, variables, cfg)
@@ -704,21 +846,11 @@ def bench_streaming_rtf_espnet(seconds=30):
     additive joint, vocab 4233) — the one family x config pairing the
     other streaming benches don't cover.  Throughput regime only (stacked
     ready windows, same program structure as bench_streaming_rtf)."""
-    import os
-
     import numpy as np
-    from transformer_transducer_tpu.models.espnet_variant import (
-        build_espnet_transducer)
     from transformer_transducer_tpu.streaming.session import (
         StreamingConfig, StreamingSession)
-    from transformer_transducer_tpu.utils.config import load_config
 
-    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "configs", "espnet_aishell.yaml"))
-    model = build_espnet_transducer(cfg.model, compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 8, 512)), jnp.asarray([8]),
-                           jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    cfg, model, variables = _espnet_parts()
     scfg = StreamingConfig.from_config(cfg)
     session = StreamingSession(model, variables, scfg)
     rs = np.random.RandomState(0)
@@ -741,17 +873,11 @@ def bench_multistream(n_streams=8, seconds=30):
     all streams' windows + greedy scans advance together).  Returns aggregate
     x-realtime: N x seconds of audio over wall time."""
     import numpy as np
-    from transformer_transducer_tpu.models.transducer import Transducer
     from transformer_transducer_tpu.streaming.batched import (
         BatchedStreamingSession)
     from transformer_transducer_tpu.streaming.session import StreamingConfig
 
-    model = Transducer(vocab_size=4334, enc=(4, 410, 8, 512, 64, 1024),
-                       dec=(1, 42, 8, 512, 64, 1024), joint_inner=1024,
-                       compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 8, 512)),
-                           jnp.zeros((1, 4), jnp.int32))
+    model, variables = _aishell_parts()
     cfg = StreamingConfig(left_context=10, right_context=2, n_layer=4,
                           feature_dim=128)
     session = BatchedStreamingSession(model, variables, cfg, n_streams)
@@ -781,22 +907,12 @@ def bench_multistream_espnet(n_streams=8, seconds=30, incremental=False):
     round-4 shift-invariant cached-encoder rounds
     (streaming/incremental.py::_espnet_layer_step) — the multi-stream win
     the espnet family was denied in round 3."""
-    import os
-
     import numpy as np
-    from transformer_transducer_tpu.models.espnet_variant import (
-        build_espnet_transducer)
     from transformer_transducer_tpu.streaming.batched import (
         BatchedStreamingSession)
     from transformer_transducer_tpu.streaming.session import StreamingConfig
-    from transformer_transducer_tpu.utils.config import load_config
 
-    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "configs", "espnet_aishell.yaml"))
-    model = build_espnet_transducer(cfg.model, compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 8, 512)), jnp.asarray([8]),
-                           jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    cfg, model, variables = _espnet_parts()
     scfg = StreamingConfig.from_config(cfg)
     session = BatchedStreamingSession(model, variables, scfg, n_streams,
                                       incremental=incremental)
@@ -967,15 +1083,11 @@ def bench_train_flagship_real_io(batch=32, n=256, dur_s=12.3, k_chain=2,
 
     v = 6485
     t, u = 410, 42
-    model = Transducer(vocab_size=v, enc=(18, 410, 8, 512, 64, 2048),
-                       dec=(2, 42, 8, 512, 64, 2048), joint_inner=2048,
-                       compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    x0 = jax.random.normal(rng, (1, 8, 512))
-    params = model.init(rng, x0, jnp.zeros((1, 4), jnp.int32))["params"]
+    model, variables = _flagship_parts()
+    params = variables["params"]
     tx = optim_lib.build_optimizer(
         Config({"type": "sgd", "lr": 2e-4, "momentum": 0.9}), 200.0)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)  # eager init = per-leaf dispatches
     frontend = ((128, 3, 0, 3, 410, "eps") if on_device_features else None)
     step = make_train_step(model, tx, TrainStepConfig(
         compute_dtype=jnp.bfloat16, loss_chunk_size=16, frontend=frontend))
@@ -1035,157 +1147,280 @@ def bench_train_flagship_real_io(batch=32, n=256, dur_s=12.3, k_chain=2,
 
 
 def _note(name):
-    """Per-bench progress marker (stderr): the full suite is ~an hour of
-    mostly remote compiles — a stalled run should be diagnosable."""
-    print(f"[bench] {name} @ {time.strftime('%H:%M:%S')}",
-          file=sys.stderr, flush=True)
+    """Per-bench progress marker (stderr) — a stalled run should be
+    diagnosable from the tail."""
+    print(f"[bench] {name} @ {time.strftime('%H:%M:%S')} "
+          f"(+{time.time() - T_START:.0f}s)", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# sections — each updates RESULTS; ordered most-load-bearing first so a
+# budget/driver kill loses only the tail (VERDICT r4 #1).  Key names are
+# unchanged from rounds 2-4 for cross-round comparability.
+# ---------------------------------------------------------------------------
+
+def _train_mfu(b, ms):
+    # MFU: standard convention — required model FLOPs (3x analytic forward;
+    # remat recompute not credited) over measured time vs bf16 chip peak
+    return 3 * transducer_flops(b, 410, 43, 4334) / (ms / 1e3) / PEAK_FLOPS
+
+
+def _sec_offline_rtf():
+    RESULTS[HEADLINE_KEY] = round(bench_offline_rtf(), 2)
+
+
+def _sec_train_flagship_b4():
+    ms, mfu = bench_train_step_flagship()
+    RESULTS["train_step_ms_flagship_b4"] = round(ms, 2)
+    RESULTS["mfu_train_step_b4_flagship"] = round(mfu, 4)
+
+
+def _sec_train_flagship_pruned():
+    ms, _ = bench_train_step_flagship(pruned_range=5)
+    RESULTS["train_step_ms_flagship_b4_pruned5"] = round(ms, 2)
+
+
+def _sec_train_aishell_b4():
+    ms = bench_train_step()
+    RESULTS["train_step_ms_aishell_b4"] = round(ms, 2)
+    RESULTS["mfu_train_step_b4_aishell"] = round(_train_mfu(4, ms), 4)
+
+
+def _sec_train_aishell_b32():
+    ms = bench_train_step(batch=32)
+    RESULTS["train_step_ms_aishell_b32"] = round(ms, 2)
+    RESULTS["mfu_train_step_b32_aishell"] = round(_train_mfu(32, ms), 4)
+
+
+def _sec_train_flagship_b32():
+    ms, mfu = bench_train_step_flagship(batch=32, n_chain=2)
+    RESULTS["train_step_ms_flagship_b32"] = round(ms, 2)
+    RESULTS["mfu_train_step_b32_flagship"] = round(mfu, 4)
+
+
+def _sec_rnnt_loss():
+    RESULTS["rnnt_loss_fwdbwd_ms_b4_t410_u42"] = round(bench_rnnt_loss(), 2)
+
+
+def _sec_streaming_flagship():
+    rtf, lat = bench_streaming_rtf_flagship()
+    RESULTS["streaming_x_realtime_warm_flagship"] = round(rtf, 2)
+    RESULTS["streaming_cadence_ms_per_window_flagship"] = lat["mean"]
+    # serving-SLO shape: per-window latency percentiles + first-token
+    # latency in the mic regime (VERDICT r3 #7)
+    RESULTS["streaming_window_latency_flagship"] = lat
+
+
+def _sec_streaming_flagship_inc():
+    rtf, lat = bench_streaming_rtf_flagship(incremental=True)
+    RESULTS["streaming_x_realtime_warm_flagship_incremental"] = round(rtf, 2)
+    RESULTS["streaming_cadence_ms_per_window_flagship_incremental"] = \
+        lat["mean"]
+    RESULTS["streaming_window_latency_flagship_incremental"] = lat
+
+
+def _sec_multistream_espnet():
+    RESULTS["multistream_8_aggregate_x_realtime_espnet"] = round(
+        bench_multistream_espnet(), 2)
+
+
+def _sec_multistream_espnet_inc():
+    RESULTS["multistream_8_aggregate_x_realtime_espnet_incremental"] = round(
+        bench_multistream_espnet(incremental=True), 2)
+
+
+def _sec_multistream_flagship():
+    RESULTS["multistream_8_aggregate_x_realtime_flagship"] = round(
+        bench_multistream_flagship(), 2)
+
+
+def _sec_multistream_flagship_inc():
+    RESULTS["multistream_8_aggregate_x_realtime_flagship_incremental"] = \
+        round(bench_multistream_flagship(incremental=True), 2)
+
+
+def _sec_input_pipeline():
+    utts, audio = bench_input_pipeline()
+    # host Dataset->loader feed rate on WAVs on disk (12.3 s utts);
+    # single-core box — scales ~per-core on real hosts (DESIGN.md §5a)
+    RESULTS["input_pipeline_utts_per_s_b32"] = round(utts, 1)
+    RESULTS["input_pipeline_audio_s_per_s_b32"] = round(audio, 0)
+
+
+def _sec_real_io():
+    # end-to-end flagship training from files on disk, loader overlapped
+    # with the chip (steps_per_call path), vs the synthetic-input rows
+    utts = bench_train_flagship_real_io()
+    RESULTS["train_e2e_real_io_utts_per_s_flagship_b32"] = round(utts, 1)
+    ms32 = RESULTS.get("train_step_ms_flagship_b32")
+    if ms32:
+        RESULTS["train_e2e_real_io_vs_synthetic"] = round(
+            utts / (32 / (ms32 / 1e3)), 3)
+
+
+def _sec_train_espnet():
+    RESULTS["train_step_ms_espnet_b4"] = round(bench_train_step_espnet(), 2)
+
+
+def _sec_encode_mfu():
+    RESULTS["mfu_offline_encode_b16_aishell"] = round(bench_encode_mfu(), 4)
+
+
+def _sec_encode_int8():
+    f, q = bench_encode_int8_ms()
+    RESULTS["encode_chain_ms_b16_aishell"] = {"bf16": round(f, 3),
+                                              "int8": round(q, 3)}
+
+
+def _sec_streaming_aishell():
+    rtf, lat_ms = bench_streaming_rtf()
+    RESULTS["streaming_x_realtime_warm_aishell"] = round(rtf, 2)
+    RESULTS["streaming_cadence_ms_per_window_aishell"] = round(lat_ms, 2)
+
+
+def _sec_streaming_espnet():
+    RESULTS["streaming_x_realtime_warm_espnet"] = round(
+        bench_streaming_rtf_espnet(), 2)
+
+
+def _sec_beam():
+    RESULTS["beam5_x_realtime_b8_aishell_dense"] = round(bench_beam_rtf(), 2)
+
+
+def _sec_beam_15():
+    RESULTS["beam5_x_realtime_b8_aishell_15pct"] = round(
+        bench_beam_rtf(emission_density=0.15), 2)
+
+
+def _sec_beam_15_flagship():
+    RESULTS["beam5_x_realtime_b8_flagship_15pct"] = round(
+        bench_beam_rtf(emission_density=0.15, flagship=True), 2)
+
+
+def _sec_multistream_aishell():
+    RESULTS["multistream_8_aggregate_x_realtime_aishell"] = round(
+        bench_multistream(), 2)
+
+
+def _sec_serve_continuous():
+    gang, cont, util = bench_serve_continuous()
+    # continuous batching (serve.py --continuous) vs the gang-scheduled
+    # group mode over a skewed file set (1x30s + 7x8s per 8-slot group):
+    # per-slot turnover removes the head-of-line wait behind each group's
+    # longest member
+    RESULTS["serve_files_x_realtime_aishell"] = {
+        "gang": round(gang, 2), "continuous": round(cont, 2),
+        "slot_utilization": round(util, 4)}
+
+
+def _sec_streaming_flagship_15():
+    rtf, _ = bench_streaming_rtf_flagship(emission_density=0.15,
+                                          measure_cadence=False)
+    RESULTS["streaming_x_realtime_warm_flagship_15pct"] = round(rtf, 2)
+
+
+def _sec_streaming_flagship_15_inc():
+    rtf, _ = bench_streaming_rtf_flagship(incremental=True,
+                                          emission_density=0.15,
+                                          measure_cadence=False)
+    RESULTS["streaming_x_realtime_warm_flagship_15pct_incremental"] = \
+        round(rtf, 2)
+
+
+def _sec_round_latency():
+    # live 8-stream serving-round latency (one window/stream/round, one
+    # fused process() per round — the mic-regime SLO distribution)
+    RESULTS["multistream_8_round_latency_ms_flagship"] = \
+        bench_multistream_cadence_flagship()
+
+
+def _sec_round_latency_inc():
+    RESULTS["multistream_8_round_latency_ms_flagship_incremental"] = \
+        bench_multistream_cadence_flagship(incremental=True)
+
+
+def _sec_rnnt_loss_cpu():
+    cpu_ms = bench_rnnt_loss_cpu_ms()
+    RESULTS["rnnt_loss_cpu_fwdbwd_ms_b4_t410_u42"] = (
+        round(cpu_ms, 1) if cpu_ms else None)
+    loss_ms = RESULTS.get("rnnt_loss_fwdbwd_ms_b4_t410_u42")
+    RESULTS["rnnt_loss_tpu_vs_cpu_x"] = (
+        round(cpu_ms / loss_ms, 1) if cpu_ms and loss_ms else None)
+
+
+def _sec_banded_attention():
+    dense_ms, banded_ms = bench_banded_attention()
+    RESULTS["banded_attn_t2048_ms"] = {"dense": round(dense_ms, 3),
+                                       "pallas": round(banded_ms, 3)}
+
+
+def _sec_offline_rtf_int8():
+    RESULTS["offline_rtf_int8_aishell"] = round(bench_offline_rtf(int8=True), 2)
+
+
+# (name, fn, cost_estimate_s_warm) — order is the survival order.
+# "aishell" rows = 4-layer config (configs/aishell.yaml geometry);
+# "flagship" rows = 18-layer joint_streaming config (the reference's
+# product model, configs/joint_streaming.yaml).
+SECTIONS = [
+    ("offline_rtf", _sec_offline_rtf),                 # headline — first
+    ("train_step flagship b4", _sec_train_flagship_b4),
+    ("train_step flagship pruned5", _sec_train_flagship_pruned),
+    ("train_step b4", _sec_train_aishell_b4),
+    ("train_step b32", _sec_train_aishell_b32),
+    ("train_step flagship b32", _sec_train_flagship_b32),
+    ("rnnt loss", _sec_rnnt_loss),
+    ("streaming flagship", _sec_streaming_flagship),
+    ("streaming flagship incremental", _sec_streaming_flagship_inc),
+    ("multistream espnet", _sec_multistream_espnet),
+    ("multistream espnet incremental", _sec_multistream_espnet_inc),
+    ("multistream flagship", _sec_multistream_flagship),
+    ("multistream flagship incremental", _sec_multistream_flagship_inc),
+    ("serve continuous vs gang", _sec_serve_continuous),
+    ("input pipeline (host)", _sec_input_pipeline),
+    ("train flagship real file I/O", _sec_real_io),
+    ("train_step espnet", _sec_train_espnet),
+    ("encode mfu", _sec_encode_mfu),
+    ("encode int8 vs bf16", _sec_encode_int8),
+    ("streaming aishell", _sec_streaming_aishell),
+    ("streaming espnet", _sec_streaming_espnet),
+    ("beam dense", _sec_beam),
+    ("beam 15pct", _sec_beam_15),
+    ("beam 15pct flagship", _sec_beam_15_flagship),
+    ("multistream aishell", _sec_multistream_aishell),
+    ("streaming flagship 15pct", _sec_streaming_flagship_15),
+    ("streaming flagship 15pct incremental", _sec_streaming_flagship_15_inc),
+    ("multistream flagship live-round latency", _sec_round_latency),
+    ("multistream flagship live-round latency incremental",
+     _sec_round_latency_inc),
+    ("rnnt loss cpu", _sec_rnnt_loss_cpu),
+    ("banded attention", _sec_banded_attention),
+    ("offline_rtf int8", _sec_offline_rtf_int8),       # known wash — last
+]
 
 
 def main():
-    backend = jax.default_backend()
-    _note("offline_rtf")
-    rtf = bench_offline_rtf()
-    _note("offline_rtf int8")
-    rtf_int8 = bench_offline_rtf(int8=True)
-    _note("encode int8 vs bf16")
-    enc_ms_f, enc_ms_q = bench_encode_int8_ms()
-    _note("train_step b4")
-    step_ms = bench_train_step()
-    _note("train_step b32")
-    step_ms32 = bench_train_step(batch=32)
-    _note("train_step espnet")
-    esp_step_ms = bench_train_step_espnet()
-    _note("train_step flagship")
-    flag_ms, flag_mfu = bench_train_step_flagship()
-    _note("train_step flagship b32")
-    flag_ms32, flag_mfu32 = bench_train_step_flagship(batch=32, n_chain=2)
-    _note("train_step flagship pruned5")
-    flag_pruned_ms, _ = bench_train_step_flagship(pruned_range=5)
-    _note("beam dense")
-    beam_rtf = bench_beam_rtf()
-    _note("beam 15pct")
-    beam_rtf_15 = bench_beam_rtf(emission_density=0.15)
-    _note("beam 15pct flagship")
-    flag_beam_rtf_15 = bench_beam_rtf(emission_density=0.15, flagship=True)
-    _note("rnnt loss")
-    loss_ms = bench_rnnt_loss()
-    _note("rnnt loss cpu")
-    cpu_loss_ms = bench_rnnt_loss_cpu_ms()
-    _note("encode mfu")
-    enc_mfu = bench_encode_mfu()
-    _note("streaming aishell")
-    stream_rtf, stream_lat_ms = bench_streaming_rtf()
-    _note("streaming espnet")
-    stream_rtf_esp = bench_streaming_rtf_espnet()
-    _note("streaming flagship")
-    flag_rtf, flag_lat = bench_streaming_rtf_flagship()
-    _note("streaming flagship incremental")
-    flag_inc_rtf, flag_inc_lat = bench_streaming_rtf_flagship(
-        incremental=True)
-    _note("streaming flagship 15pct")
-    flag_rtf_15, _ = bench_streaming_rtf_flagship(emission_density=0.15,
-                                                  measure_cadence=False)
-    _note("streaming flagship 15pct incremental")
-    flag_inc_rtf_15, _ = bench_streaming_rtf_flagship(
-        incremental=True, emission_density=0.15, measure_cadence=False)
-    _note("multistream aishell")
-    multi_rtf = bench_multistream()
-    _note("multistream flagship")
-    flag_multi_rtf = bench_multistream_flagship()
-    _note("multistream flagship incremental")
-    flag_multi_inc_rtf = bench_multistream_flagship(incremental=True)
-    _note("multistream espnet")
-    esp_multi_rtf = bench_multistream_espnet()
-    _note("multistream espnet incremental")
-    esp_multi_inc_rtf = bench_multistream_espnet(incremental=True)
-    _note("multistream flagship live-round latency")
-    flag_round_lat = bench_multistream_cadence_flagship()
-    _note("multistream flagship live-round latency incremental")
-    flag_round_lat_inc = bench_multistream_cadence_flagship(incremental=True)
-    _note("input pipeline (host)")
-    pipe_utts, pipe_audio = bench_input_pipeline()
-    _note("train flagship real file I/O")
-    real_io_utts = bench_train_flagship_real_io()
-    _note("banded attention")
-    dense_ms, banded_ms = bench_banded_attention()
-    # MFU: standard convention — required model FLOPs (3x analytic forward;
-    # remat recompute not credited) over measured time vs bf16 chip peak
-    def train_mfu(b, ms):
-        return 3 * transducer_flops(b, 410, 43, 4334) / (ms / 1e3) / PEAK_FLOPS
-    print(json.dumps({
-        # "aishell" rows = 4-layer config (configs/aishell.yaml geometry);
-        # "flagship" rows = 18-layer joint_streaming config
-        # (configs/joint_streaming.yaml, the reference's product model)
-        "train_step_ms_aishell_b4": round(step_ms, 2),
-        "train_step_ms_aishell_b32": round(step_ms32, 2),
-        "train_step_ms_espnet_b4": round(esp_step_ms, 2),
-        "train_step_ms_flagship_b4": round(flag_ms, 2),
-        "train_step_ms_flagship_b32": round(flag_ms32, 2),
-        "mfu_train_step_b32_flagship": round(flag_mfu32, 4),
-        "train_step_ms_flagship_b4_pruned5": round(flag_pruned_ms, 2),
-        "beam5_x_realtime_b8_aishell_dense": round(beam_rtf, 2),
-        "beam5_x_realtime_b8_aishell_15pct": round(beam_rtf_15, 2),
-        "beam5_x_realtime_b8_flagship_15pct": round(flag_beam_rtf_15, 2),
-        "mfu_train_step_b4_aishell": round(train_mfu(4, step_ms), 4),
-        "mfu_train_step_b32_aishell": round(train_mfu(32, step_ms32), 4),
-        "mfu_train_step_b4_flagship": round(flag_mfu, 4),
-        "mfu_offline_encode_b16_aishell": round(enc_mfu, 4),
-        "offline_rtf_int8_aishell": round(rtf_int8, 2),
-        "encode_chain_ms_b16_aishell": {"bf16": round(enc_ms_f, 3),
-                                        "int8": round(enc_ms_q, 3)},
-        "rnnt_loss_fwdbwd_ms_b4_t410_u42": round(loss_ms, 2),
-        "rnnt_loss_cpu_fwdbwd_ms_b4_t410_u42": (
-            round(cpu_loss_ms, 1) if cpu_loss_ms else None),
-        "rnnt_loss_tpu_vs_cpu_x": (
-            round(cpu_loss_ms / loss_ms, 1) if cpu_loss_ms else None),
-        "streaming_x_realtime_warm_aishell": round(stream_rtf, 2),
-        "streaming_x_realtime_warm_espnet": round(stream_rtf_esp, 2),
-        "streaming_cadence_ms_per_window_aishell": round(stream_lat_ms, 2),
-        "streaming_x_realtime_warm_flagship": round(flag_rtf, 2),
-        "streaming_cadence_ms_per_window_flagship": flag_lat["mean"],
-        # serving-SLO shape: per-window latency percentiles + first-token
-        # latency in the mic regime (VERDICT r3 #7)
-        "streaming_window_latency_flagship": flag_lat,
-        "streaming_x_realtime_warm_flagship_incremental":
-            round(flag_inc_rtf, 2),
-        "streaming_cadence_ms_per_window_flagship_incremental":
-            flag_inc_lat["mean"],
-        "streaming_window_latency_flagship_incremental": flag_inc_lat,
-        "streaming_x_realtime_warm_flagship_15pct": round(flag_rtf_15, 2),
-        "streaming_x_realtime_warm_flagship_15pct_incremental":
-            round(flag_inc_rtf_15, 2),
-        "multistream_8_aggregate_x_realtime_aishell": round(multi_rtf, 2),
-        "multistream_8_aggregate_x_realtime_flagship": round(flag_multi_rtf, 2),
-        "multistream_8_aggregate_x_realtime_flagship_incremental":
-            round(flag_multi_inc_rtf, 2),
-        "multistream_8_aggregate_x_realtime_espnet": round(esp_multi_rtf, 2),
-        "multistream_8_aggregate_x_realtime_espnet_incremental":
-            round(esp_multi_inc_rtf, 2),
-        # live 8-stream serving-round latency (one window/stream/round, one
-        # fused process() per round — the mic-regime SLO distribution)
-        "multistream_8_round_latency_ms_flagship": flag_round_lat,
-        "multistream_8_round_latency_ms_flagship_incremental":
-            flag_round_lat_inc,
-        "banded_attn_t2048_ms": {"dense": round(dense_ms, 3),
-                                 "pallas": round(banded_ms, 3)},
-        # host Dataset->loader feed rate on WAVs on disk (12.3 s utts);
-        # single-core box — scales ~per-core on real hosts (DESIGN.md §5a)
-        "input_pipeline_utts_per_s_b32": round(pipe_utts, 1),
-        "input_pipeline_audio_s_per_s_b32": round(pipe_audio, 0),
-        # end-to-end flagship training from files on disk, loader
-        # overlapped with the chip (steps_per_call path), vs the
-        # synthetic-input train_step rows
-        "train_e2e_real_io_utts_per_s_flagship_b32": round(real_io_utts, 1),
-        "train_e2e_real_io_vs_synthetic":
-            round(real_io_utts / (32 / (flag_ms32 / 1e3)), 3),
-        "backend": backend,
-    }), file=sys.stderr)
-    print(json.dumps({
-        "metric": "offline_encode_greedy_x_realtime_aishell",
-        "value": round(rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 20.0, 2),
-    }))
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    RESULTS["backend"] = jax.default_backend()
+    headline_printed = False
+    for name, fn in SECTIONS:
+        if time.time() - T_START > BUDGET_S:
+            SKIPPED.append(name)
+            continue
+        _note(name)
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:           # one broken section must not kill
+            RESULTS.setdefault("bench_errors", {})[name] = repr(e)[:300]
+        SECTION_S[name] = time.perf_counter() - t0
+        _emit_cumulative()
+        if not headline_printed and HEADLINE_KEY in RESULTS:
+            _emit_headline()             # secure the stdout line EARLY
+            headline_printed = True
+    _emit_cumulative()
+    _emit_headline(force=True)           # final reprint (driver takes last)
 
 
 if __name__ == "__main__":
