@@ -6,8 +6,8 @@ lattice cell ``(t, u = rs[t] + s)``, blank edges shift the band window by
 ``d_t = rs[t] - rs[t-1]`` slots and label edges sweep within the row.  The
 XLA ``lax.scan`` version pays ~409 loop-boundary fusion breaks plus
 per-step ``take_along_axis`` gathers and an unrolled ``.at[].set`` chain —
-measured ~4.6 ms fwd+bwd at flagship shapes, as much as the banded joint
-matmuls themselves.  Here the whole wavefront lives in VMEM and each row is
+measured 5.9 ms fwd+bwd at B=4 flagship shapes chained-in-jit (DESIGN.md
+§1c), as much as the banded joint matmuls themselves.  Here the whole wavefront lives in VMEM and each row is
 a handful of (B, 128) vector ops:
 
 * the per-batch dynamic band shift ``d`` becomes ``s_range`` static

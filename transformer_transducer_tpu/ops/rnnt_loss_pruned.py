@@ -30,9 +30,9 @@ Three stages:
    runs as Pallas row sweeps with an analytic VJP
    (:func:`rnnt_loss_banded_pallas`; ``ops/pallas/band_kernel.py``) —
    the XLA ``lax.scan`` version (:func:`rnnt_loss_banded_grid`, also the
-   test oracle) pays ~T loop-boundary fusion breaks and measured ~4.6 ms
-   fwd+bwd at flagship shapes, as much as the banded joint matmuls
-   themselves.
+   test oracle) pays ~T loop-boundary fusion breaks and measured 5.9 ms
+   fwd+bwd at B=4 flagship shapes chained-in-jit (DESIGN.md §1c), as much
+   as the banded joint matmuls themselves.
 
 Properties (tested): with ``s_range >= U+1`` the band covers the whole
 grid and the loss/gradients equal :func:`ops.rnnt_loss.rnnt_loss_fused`
@@ -300,7 +300,15 @@ def rnnt_loss_banded_pallas(lp_b: jax.Array, lp_l: jax.Array, rs: jax.Array,
     """Per-sequence banded NLL, numerically equal to
     :func:`rnnt_loss_banded_grid`, with the DP as Pallas row sweeps and an
     analytic VJP (band occupancies from one beta sweep) instead of autodiff
-    through a T-step scan."""
+    through a T-step scan.
+
+    Precondition: band-start steps ``d_t = rs[:, t] - rs[:, t-1]`` must
+    satisfy ``0 <= d_t <= s_range - 1`` (monotone starts, no full-band
+    jumps) — guaranteed by :func:`bounds_from_occ`.  The kernel maps any
+    out-of-range ``d`` to "no in-band source" (the row stays NEG), whereas
+    :func:`rnnt_loss_banded_grid`'s guarded gather still sums the valid
+    in-band sources for ``d < 0`` — direct callers with custom ``rs`` must
+    respect the precondition or the two paths diverge."""
     return _blp_fwd(lp_b, lp_l, rs, t_len, u_len, interpret)[0]
 
 
