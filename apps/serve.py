@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--incremental", action="store_true",
                     help="cached-encoder rounds (native family): O(new "
                          "frames) encoder work + short greedy scans")
+    ap.add_argument("--continuous", action="store_true",
+                    help="continuous batching: admit the next queued file "
+                         "into a slot the moment its stream drains "
+                         "(per-slot turnover, no head-of-line blocking) "
+                         "instead of gang-scheduling fixed groups; emits a "
+                         "final JSON summary with slot utilization and "
+                         "per-utterance latency percentiles")
     ap.add_argument("--rtf", action="store_true",
                     help="report aggregate x-realtime")
     ap.add_argument("--json", action="store_true",
@@ -83,6 +90,62 @@ def main():
     round_lats = []          # --latency: per-process()-round wall times, ms
     first_token_ms = {}      # --latency: path -> first-token latency, ms
     t0 = time.perf_counter()
+
+    if args.continuous:
+        # continuous batching (streaming/batched.py::serve_files): per-slot
+        # turnover via stream_done/reset_streams — a drained slot re-admits
+        # the next queued file while long utterances keep decoding
+        period = scfg.subsample * 0.01
+        waves = []
+        for path in args.wavs:
+            wave, rate = read_wave(path)
+            total_audio_s += len(wave) / rate
+            waves.append(wave)
+        tokens_all = session.serve_files(waves)
+        wall = time.perf_counter() - t0
+        for k, path in enumerate(args.wavs):
+            text = "".join(vocab.decode(tokens_all[k]))
+            if args.json:
+                meta = session.last_meta[k]
+                results[path] = {
+                    "text": text,
+                    "tokens": tokens_all[k],
+                    "times_s": [round(f * period, 3)
+                                for f in meta["timestamps"]],
+                    "confidences": [round(float(np.exp(c)), 6)
+                                    for c in meta["confidences"]],
+                    "segments": ["".join(vocab.decode(seg))
+                                 for seg in meta["segments"]],
+                }
+            else:
+                results[path] = {"text": text}
+        for path in args.wavs:
+            if args.json:
+                print(json.dumps({"file": path, **results[path]},
+                                 ensure_ascii=False))
+            else:
+                print(f"{path}\t{results[path]['text']}")
+        lats = np.asarray(session.last_stats["utt_latency_s"], np.float64)
+        print(json.dumps({"summary": {
+            "mode": "continuous",
+            "slots": n_streams,
+            "files": len(args.wavs),
+            "rounds": session.last_stats["rounds"],
+            "slot_utilization": round(
+                session.last_stats["slot_utilization"], 4),
+            "aggregate_x_realtime": round(total_audio_s / wall, 2),
+            "utt_latency_s": {
+                "mean": round(float(lats.mean()), 3),
+                "p50": round(float(np.percentile(lats, 50)), 3),
+                "p95": round(float(np.percentile(lats, 95)), 3),
+                "p99": round(float(np.percentile(lats, 99)), 3)},
+        }}, ensure_ascii=False))
+        if args.rtf:
+            print(f"# aggregate: {total_audio_s:.1f}s audio in {wall:.2f}s "
+                  f"= {total_audio_s / wall:.1f}x realtime "
+                  f"({n_streams} slots, continuous)", file=sys.stderr)
+        return
+
     # fill slots with up to n_streams files at a time
     for base in range(0, len(args.wavs), n_streams):
         group = args.wavs[base:base + n_streams]

@@ -131,3 +131,60 @@ def test_serve_latency_summary(tmp_path, monkeypatch, capsys):
     emitted = [r["file"] for r in lat[:2] if r["tokens"]]
     for path in emitted:
         assert s["first_token_ms"][path] > 0
+
+
+def test_serve_continuous_batching(tmp_path, monkeypatch, capsys):
+    """--continuous sustains N slots over M >> N files with per-slot
+    turnover (VERDICT r4 #3): per-file decodes must equal the
+    gang-scheduled mode's, and the summary must report slot utilization +
+    per-utterance latency percentiles.  Files get deliberately skewed
+    lengths so gang scheduling would idle a slot behind the long one."""
+    from transformer_transducer_tpu.utils.config import dump_config
+    from transformer_transducer_tpu.utils import checkpoint as ckpt_lib
+    from transformer_transducer_tpu.models.factory import build_family
+
+    vocab_path = tmp_path / "vocab.txt"
+    with open(vocab_path, "w") as f:
+        f.write("<b> 0\n")
+        for i in range(1, 12):
+            f.write(f"w{i} {i}\n")
+    cfg = tiny_train_config(str(tmp_path), str(vocab_path),
+                            {"train": "x", "dev": "x", "test": "x"})
+    cfg_path = tmp_path / "cfg.yaml"
+    dump_config(cfg, str(cfg_path))
+    model, variables, _ = build_family(cfg, 16)
+    ckpt = ckpt_lib.save_checkpoint(str(tmp_path / "ck"),
+                                    variables["params"])
+
+    rng = np.random.RandomState(0)
+    wavs = []
+    # skewed lengths: one long utterance per pair would head-of-line-block
+    # a gang-scheduled group
+    for s, n in enumerate([40000, 12000, 14000, 16000, 12000]):
+        w = (np.sin(np.arange(n) * (0.02 + 0.007 * s)) * 9000
+             + rng.randn(n) * 1500)
+        p = tmp_path / f"in{s}.wav"
+        write_wave(str(p), w)
+        wavs.append(str(p))
+
+    def run(extra):
+        monkeypatch.setattr(sys, "argv", [
+            "serve.py", "--config", str(cfg_path), "--checkpoint", ckpt,
+            "--wavs", *wavs, "--streams", "2", "--json", *extra])
+        _serve_module().main()
+        return [json.loads(ln) for ln in
+                capsys.readouterr().out.splitlines() if ln.strip()]
+
+    gang = run([])
+    cont = run(["--continuous"])
+    assert len(cont) == len(wavs) + 1 and "summary" in cont[-1]
+    # identical per-file decodes through per-slot turnover (exactness of
+    # reset_streams is the property under test, via the CLI path)
+    assert [r["file"] for r in cont[:-1]] == wavs
+    assert [r["tokens"] for r in cont[:-1]] == [r["tokens"] for r in gang]
+    s = cont[-1]["summary"]
+    assert s["mode"] == "continuous" and s["slots"] == 2
+    assert s["files"] == len(wavs) and s["rounds"] > 0
+    assert 0.0 < s["slot_utilization"] <= 1.0
+    ul = s["utt_latency_s"]
+    assert 0 < ul["p50"] <= ul["p95"] <= ul["p99"]

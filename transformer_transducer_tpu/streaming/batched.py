@@ -530,7 +530,6 @@ class BatchedStreamingSession:
             mask[i] = True
             self.streams[i] = _StreamState(self.cfg, self._d)
         if not hasattr(self, "_slot_reset"):
-            cap = self.cfg.label_history + 1
             seed = int(self.cfg.seed_token)
 
             @jax.jit
@@ -565,36 +564,62 @@ class BatchedStreamingSession:
             self._cache = self._cache_reset(m, self._cache, one)
 
     def serve_files(self, waves: List[np.ndarray],
-                    max_rounds: int = 100000) -> List[List[int]]:
+                    max_rounds: int = 100000,
+                    rounds_per_call: int = 4) -> List[List[int]]:
         """Continuous-batching file server: decode ``len(waves)`` utterances
         through ``n_streams`` slots, admitting the next utterance into a
         slot the moment its stream drains (per-slot turnover; contrast the
-        gang-scheduled group mode in ``apps/serve.py``, where the whole
-        batch waits for its longest member).  Returns per-utterance token
-        sequences in input order; per-utterance timestamps/confidences land
-        in ``self.last_meta`` (same order)."""
+        gang-scheduled group mode, where the whole batch waits for its
+        longest member).  Returns per-utterance token sequences in input
+        order; per-utterance timestamps/confidences land in
+        ``self.last_meta`` (same order) and serving stats (rounds, slot
+        utilization, per-utterance wall-clock latency from admission to
+        drain) in ``self.last_stats``.
+
+        ``rounds_per_call`` rounds run stacked per device call between
+        admission checks (numerics identical to round-by-round
+        ``process()`` — the stacked drain is the tested
+        :meth:`run_to_completion` core): >1 amortizes per-call dispatch
+        latency at the cost of a drained slot idling up to
+        ``rounds_per_call - 1`` rounds before turnover (and
+        ``slot_utilization`` being an upper bound at that granularity;
+        exact at 1)."""
+        import time as _time
+
         self.reset()
         pending = list(range(len(waves)))
         active = {}                      # slot -> utterance index
         results: List[Optional[List[int]]] = [None] * len(waves)
         self.last_meta = [None] * len(waves)
+        admit_t = [None] * len(waves)    # host wall-clock at admission
+        latency_s = [None] * len(waves)  # admission -> drained
 
         def admit(slot):
             k = pending.pop(0)
             active[slot] = k
+            admit_t[k] = _time.perf_counter()
             self.accept_waveform(slot, waves[k])
             self.finalize(slot)
 
         for slot in range(self.n):
             if pending:
                 admit(slot)
+            else:
+                self.finalize(slot)      # empty slot: finished no-op stream
         rounds = 0
+        occupied_slot_rounds = 0
         while active and rounds < max_rounds:
-            self.process()
-            rounds += 1
+            n_run = self._drain_rounds(min(rounds_per_call,
+                                           max_rounds - rounds))
+            rounds += n_run
+            occupied_slot_rounds += len(active) * n_run
             freed = [s for s in active if self.stream_done(s)]
+            if n_run == 0 and not freed:
+                raise RuntimeError("serve_files stalled: active streams "
+                                   "have no decodable work and none drained")
             for slot in freed:
                 k = active.pop(slot)
+                latency_s[k] = _time.perf_counter() - admit_t[k]
                 st = self.streams[slot]
                 results[k] = list(st.result)
                 self.last_meta[k] = {"timestamps": list(st.timestamps),
@@ -606,7 +631,21 @@ class BatchedStreamingSession:
                 for slot in freed:
                     if pending:
                         admit(slot)
-        assert not active, f"serve_files exceeded {max_rounds} rounds"
+                    else:
+                        self.finalize(slot)
+        self.last_stats = {
+            "rounds": rounds,
+            # fraction of slot-rounds that carried a live utterance — the
+            # head-of-line metric (gang scheduling idles drained slots
+            # until the group's longest member finishes)
+            "slot_utilization": (occupied_slot_rounds / (rounds * self.n)
+                                 if rounds else 0.0),
+            "utt_latency_s": latency_s,
+        }
+        if active:   # runtime watchdog, not a debug assert (python -O strips
+            raise RuntimeError(   # asserts and would return None entries)
+                f"serve_files exceeded {max_rounds} rounds with "
+                f"{len(active)} streams undrained")
         return results
 
     def run_to_completion(self, max_rounds: int = 10000) -> List[List[int]]:
@@ -618,6 +657,14 @@ class BatchedStreamingSession:
         ``process()`` (tested), at a fraction of the dispatch cost.
         """
         assert all(st.finished for st in self.streams), "finalize() all streams"
+        self._drain_rounds(max_rounds)
+        return [st.result for st in self.streams]
+
+    def _drain_rounds(self, max_rounds: int) -> int:
+        """Execute up to ``max_rounds`` stacked serving rounds; returns the
+        number actually run (0 when no stream has decodable work left).
+        Shared drain core of :meth:`run_to_completion` (full drain) and
+        :meth:`serve_files` (bounded chunks between admission checks)."""
         max_bucket = self.ROUND_BUCKETS[-1]
         budget = max_rounds
         gather = (self._gather_chunk_round if self.incremental
@@ -673,4 +720,4 @@ class BatchedStreamingSession:
                 self._emit_round(out[:, j], *gates[j])
             if len(group) < max_bucket:
                 break
-        return [st.result for st in self.streams]
+        return max_rounds - budget
