@@ -90,6 +90,7 @@ def test_pp_train_step_matches_dp():
     _assert_trees_close(p_pp, p_ref)
 
 
+@pytest.mark.slow  # pp x banded cross; pp parity + banded parity each default-on
 def test_pp_composes_with_banded_training():
     """pp + --banded: the Pallas band rides inside each pipeline stage."""
     model, params, batch = _model_batch(band=(4, 2))
@@ -123,6 +124,7 @@ def test_sp_train_step_invariant_in_shards():
     _assert_trees_close(p2, p4)
 
 
+@pytest.mark.slow  # dropout smoke over pp/sp
 def test_pp_sp_train_with_dropout_run():
     """Training-mode dropout through the SPMD encoder programs (ADVICE r3:
     the pipelined path used to be deterministic-only)."""
@@ -141,6 +143,140 @@ def test_pp_sp_train_with_dropout_run():
     losses_b, _ = _run_steps(model_b, params_b, batch_b, sp_mesh,
                              TrainStepConfig(n_seq=2, sp_window=64), n=2)
     assert np.isfinite(losses_b).all()
+
+
+def _espnet_model_batch(num_blocks=4, d=16, b=8, t=24, u=5, v=11,
+                        input_layer=None, dropout=0.0, seed=0):
+    from transformer_transducer_tpu.models.espnet_variant import (
+        build_espnet_transducer)
+    cfg = Config({
+        "enc": {"input_size": d, "output_size": d, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": num_blocks,
+                "dropout_rate": dropout, "positional_dropout_rate": dropout,
+                "attention_dropout_rate": 0.0, "input_layer": input_layer,
+                "padding_idx": -1},
+        "dec": {"input_size": v, "output_size": d, "attention_heads": 2,
+                "linear_units": 32, "num_blocks": 1, "dropout_rate": dropout,
+                "positional_dropout_rate": dropout,
+                "attention_dropout_rate": 0.0, "input_layer": "embed",
+                "padding_idx": -1},
+        "joint": {"vocab_size": v, "joint_space_size": 12,
+                  "joint_activation_type": "tanh"},
+        "mask": {"encoder_left_mask": 3, "encoder_right_mask": 1,
+                 "decoder_left_mask": 2},
+    })
+    model = build_espnet_transducer(cfg)
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(rng, (b, t, d))
+    y = jax.random.randint(jax.random.PRNGKey(seed + 1), (b, u), 1, v - 1)
+    # RAGGED lengths: the pad mask is per-row, the part of the pp path that
+    # must ride the microbatch split (parallel/pipeline.py)
+    t_len = jnp.asarray([t - (i % 3) for i in range(b)], jnp.int32)
+    u_len = jnp.asarray([u - (i % 2) for i in range(b)], jnp.int32)
+    batch = {"inputs": x, "targets": y,
+             "inputs_length": t_len, "targets_length": u_len}
+    params = model.init(rng, x, t_len, y, u_len)["params"]
+    return model, params, batch
+
+
+def test_espnet_pp_train_step_matches_dp():
+    """VERDICT r4 #4: espnet-family pipeline parallelism.  3 full optimizer
+    updates through the dp2 x pp2 GPipe train step (mixed stacked layout,
+    blocks pipelined, input/after_norm data-parallel) equal the plain dp2
+    run: losses and every updated parameter."""
+    from transformer_transducer_tpu.parallel.pipeline import (
+        stack_espnet_encoder_layers, unstack_espnet_encoder_layers)
+    model, params, batch = _espnet_model_batch()
+    base = mesh_lib.make_mesh(n_data=2, n_model=1,
+                              devices=jax.devices()[:2])
+    losses_ref, p_ref = _run_steps(model, params, batch, base,
+                                   TrainStepConfig())
+
+    pp_mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_pipe=2,
+                                 devices=jax.devices()[:4])
+    pp_params = dict(params)
+    pp_params["encoder"] = stack_espnet_encoder_layers(params["encoder"], 4)
+    losses_pp, p_pp = _run_steps(model, pp_params, batch, pp_mesh,
+                                 TrainStepConfig(n_pipe=2, pipe_micro=4))
+    np.testing.assert_allclose(losses_pp, losses_ref, rtol=1e-5)
+    p_pp = dict(p_pp)
+    p_pp["encoder"] = unstack_espnet_encoder_layers(p_pp["encoder"])
+    _assert_trees_close(p_pp, p_ref)
+
+
+def test_espnet_pp_encode_conv_input_layer():
+    """The pipelined espnet encoder with a conv2d-subsampling input layer
+    (replicated, ahead of the pipelined blocks) matches model.encode and
+    maps lengths identically."""
+    from transformer_transducer_tpu.parallel.pipeline import (
+        encode_pipelined_espnet, stack_espnet_encoder_layers)
+    model, params, batch = _espnet_model_batch(input_layer="conv2d", t=27)
+    pp_mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_pipe=2,
+                                 devices=jax.devices()[:4])
+    mixed = stack_espnet_encoder_layers(params["encoder"], 4)
+    enc_pp, lens_pp = encode_pipelined_espnet(
+        model, mixed, batch["inputs"], batch["inputs_length"], pp_mesh,
+        n_micro=4, data_axis=mesh_lib.DATA_AXIS)
+    enc_ref = model.apply({"params": params}, batch["inputs"],
+                          batch["inputs_length"], method="encode")
+    lens_ref = model.encoded_lengths(batch["inputs_length"],
+                                     batch["inputs"].shape[1])
+    np.testing.assert_allclose(np.asarray(enc_pp), np.asarray(enc_ref),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(lens_pp), np.asarray(lens_ref))
+
+
+def test_espnet_sp_encode_matches_dense():
+    """espnet sequence parallelism is EXACT (not pinned-window): the signed
+    sinusoidal rel-pos is shift-invariant, so the time-sharded halo-exchange
+    encode equals model.encode bit-for-float, pad masks included, at any
+    shard count."""
+    from transformer_transducer_tpu.parallel.sequence import (
+        encode_banded_sp_espnet, seq_mesh)
+    model, params, batch = _espnet_model_batch(t=24)
+    ref = model.apply({"params": params}, batch["inputs"],
+                      batch["inputs_length"], method="encode")
+    for n in (2, 4):
+        got, lens = encode_banded_sp_espnet(
+            model, params, batch["inputs"], batch["inputs_length"],
+            seq_mesh(n, devices=jax.devices()[:n]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(lens),
+                                      np.asarray(batch["inputs_length"]))
+
+
+def test_espnet_sp_train_step_matches_dp():
+    """dp2 x sp2 espnet training equals the plain dp2 run exactly —
+    losses and every updated parameter (the sp encode is exact, so unlike
+    the native family there is no pinned-window semantic change)."""
+    model, params, batch = _espnet_model_batch(t=24)
+    base = mesh_lib.make_mesh(n_data=2, n_model=1,
+                              devices=jax.devices()[:2])
+    losses_ref, p_ref = _run_steps(model, params, batch, base,
+                                   TrainStepConfig())
+    sp_mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_seq=2,
+                                 devices=jax.devices()[:4])
+    losses_sp, p_sp = _run_steps(model, params, batch, sp_mesh,
+                                 TrainStepConfig(n_seq=2))
+    np.testing.assert_allclose(losses_sp, losses_ref, rtol=1e-5)
+    _assert_trees_close(p_sp, p_ref)
+
+
+@pytest.mark.slow  # dropout smoke over espnet pp
+def test_espnet_pp_train_with_dropout_run():
+    """Training-mode dropout through the espnet GPipe program (explicit-key
+    prelude dropouts + per-stage/tick/layer block dropout)."""
+    model, params, batch = _espnet_model_batch(dropout=0.2)
+    from transformer_transducer_tpu.parallel.pipeline import (
+        stack_espnet_encoder_layers)
+    pp_mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_pipe=2,
+                                 devices=jax.devices()[:4])
+    pp_params = dict(params)
+    pp_params["encoder"] = stack_espnet_encoder_layers(params["encoder"], 4)
+    losses, _ = _run_steps(model, pp_params, batch, pp_mesh,
+                           TrainStepConfig(n_pipe=2, pipe_micro=4), n=2)
+    assert np.isfinite(losses).all()
 
 
 def test_invalid_parallel_configs_raise():
@@ -212,6 +348,35 @@ def test_pp_trainer_matches_dp_trainer(corpus, tmp_path):
                         jax.device_get(t_pp.params), rtol=0, atol=0)
 
 
+def test_espnet_pp_trainer_matches_dp_trainer(tmp_path):
+    """`parallel.n_pipe: 2` on an ESPNET config: per-epoch losses match the
+    plain dp trainer, eval decodes through the pipelined program, and the
+    checkpoint stays canonical (mixed layout unstacked on save)."""
+    from test_espnet_training import espnet_tiny_config
+    root = str(tmp_path / "synth")
+    vocab_path, csvs = make_corpus(root)
+    cfg = espnet_tiny_config(root, vocab_path, csvs)
+    cfg.model.enc.num_blocks = 2
+    cfg_pp = copy.deepcopy(cfg)
+    cfg_pp.override("parallel.n_pipe", 2)
+    cfg_pp.override("parallel.pipe_micro", 2)
+    cfg_pp.override("training.save_model", "esp_pp")
+
+    t_dp = Trainer(cfg, exp_root=str(tmp_path / "dp"))
+    t_pp = Trainer(cfg_pp, exp_root=str(tmp_path / "pp"))
+    assert t_pp.is_espnet and dict(t_pp.mesh.shape).get("pipe") == 2
+    dp_loader, _ = t_dp.make_loaders()
+    pp_loader, pp_dev = t_pp.make_loaders()
+    for epoch in range(2):
+        l_dp = t_dp.train_epoch(epoch, dp_loader)
+        l_pp = t_pp.train_epoch(epoch, pp_loader)
+        np.testing.assert_allclose(l_pp, l_dp, rtol=1e-4)
+    _assert_trees_close(t_pp._to_canonical(jax.device_get(t_pp.params)),
+                        jax.device_get(t_dp.params))
+    cer = t_pp.evaluate(1, pp_dev)
+    assert np.isfinite(cer)
+
+
 # ---------------------------------------------------------------------------
 # ZeRO-1 optimizer-state sharding (parallel.zero)
 # ---------------------------------------------------------------------------
@@ -270,6 +435,37 @@ def test_zero_composes_with_tp():
                                       TrainStepConfig(zero=True))
     np.testing.assert_allclose(losses_z, losses_ref, rtol=2e-4)
     _assert_trees_close(jax.device_get(p_z), jax.device_get(p_ref))
+
+
+def test_zero_composes_with_pp():
+    """VERDICT r4 #6: parallel.zero under a dp2 x pp2 mesh — losses/params
+    match the same mesh without zero, and the stacked encoder's moments
+    shard over BOTH axes (pipe on dim 0, data on a later divisible dim)."""
+    from transformer_transducer_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
+    model, params, batch = _model_batch()
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=1, n_pipe=2,
+                              devices=jax.devices()[:4])
+    pp_params = dict(params)
+    pp_params["encoder"] = stack_encoder_layers(params["encoder"], 4)
+    cfg = TrainStepConfig(n_pipe=2, pipe_micro=4)
+    losses_ref, p_ref, _ = _run_steps_opt(model, pp_params, batch, mesh, cfg)
+    losses_z, p_z, opt_z = _run_steps_opt(
+        model, pp_params, batch, mesh,
+        TrainStepConfig(n_pipe=2, pipe_micro=4, zero=True))
+    np.testing.assert_allclose(losses_z, losses_ref, rtol=2e-4)
+    _assert_trees_close(jax.device_get(p_z), jax.device_get(p_ref))
+
+    def axes_of(leaf):
+        return {a for ax in leaf.sharding.spec if ax is not None
+                for a in (ax if isinstance(ax, tuple) else (ax,))}
+    both = [l for l in jax.tree_util.tree_leaves(opt_z)
+            if hasattr(l, "sharding") and l.ndim >= 3
+            and {DATA_AXIS, PIPE_AXIS} <= axes_of(l)]
+    assert both, "no moment leaf sharded over both pipe AND data axes"
+    big = max(both, key=lambda l: l.size)
+    frac = big.addressable_shards[0].data.size * 4 / big.size
+    assert frac == pytest.approx(1.0), (
+        "pipe x data moment shards should tile the leaf exactly")
 
 
 def test_zero_trainer_config_key(tmp_path):

@@ -367,11 +367,20 @@ class EspnetTransducer(nn.Module):
                               left_mask=self.encoder_left_mask,
                               right_mask=self.encoder_right_mask,
                               deterministic=deterministic)
+        dec = self.encode_text(text, text_lengths, deterministic)
+        return enc, dec
+
+    def encode_text(self, text, text_lengths, deterministic: bool = True):
+        """sos-prefixed text encoder alone (``tt_espnet/model.py:59-66``) —
+        the label half of :meth:`encode_both`, callable standalone so the
+        pipeline-parallel loss path (``parallel.pipeline.
+        encode_pipelined_espnet`` for the audio side) can run it on the
+        data-parallel part of the mesh."""
         text_in = jnp.pad(text, ((0, 0), (1, 0)), constant_values=self.sos)
         dec, _ = self.decoder(text_in, text_lengths + 1,
                               left_mask=self.decoder_left_mask, right_mask=0,
                               deterministic=deterministic)
-        return enc, dec
+        return dec
 
     def encode(self, speech, speech_lengths=None, deterministic: bool = True):
         enc, _ = self.encoder(speech, speech_lengths,
@@ -406,6 +415,45 @@ class EspnetTransducer(nn.Module):
 
     def joint_logits(self, enc, dec):
         return self.joint(enc, dec)
+
+
+def apply_input_layer_pure(enc_kwargs: dict, enc_params, xs: jax.Array,
+                           lengths: Optional[jax.Array],
+                           dropout_key=None, deterministic: bool = True):
+    """Pure-function twin of :class:`EspnetTransformerEncoder`'s input stage
+    (everything before the sqrt(d) scaling): input layer (none / embed /
+    linear / conv2d*) applied straight from the param tree.  Used by the
+    SPMD encoder programs (``parallel/pipeline.py`` pp,
+    ``parallel/sequence.py`` sp), whose block params live stacked/sharded
+    while the input-layer params stay replicated.  Returns ``(x, lengths)``
+    at the model rate.  Train-mode dropout (the "linear" variant's
+    input_drop) uses the explicit ``dropout_key`` — a valid iid draw, but a
+    different stream than the flax-path-derived one (SPMD-program parity
+    tests run with dropout 0)."""
+    il = enc_kwargs.get("input_layer")
+    if il == "embed":
+        x = jnp.asarray(enc_params["embed"]["embedding"])[xs]
+        if enc_kwargs.get("padding_idx") is not None:
+            row = enc_kwargs["padding_idx"] % enc_kwargs["input_size"]
+            x = x * (xs != row)[..., None].astype(x.dtype)
+        return x, lengths
+    if il == "linear":
+        pr = enc_params["input_proj"]
+        x = xs @ pr["kernel"] + pr["bias"]
+        nm = enc_params["input_norm"]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-5) * nm["scale"] + nm["bias"]
+        rate = enc_kwargs.get("dropout_rate") or 0.0
+        if not deterministic and rate > 0.0:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - rate, x.shape)
+            x = jnp.where(keep, x / (1.0 - rate), 0.0)
+        return jax.nn.relu(x), lengths
+    if il in _CONV_STACKS:
+        return Conv2dSubsampling(
+            odim=enc_kwargs["output_size"], variant=il).apply(
+            {"params": enc_params["subsample"]}, xs, lengths)
+    return xs, lengths
 
 
 def joint_params_from_espnet_variables(variables):

@@ -125,14 +125,15 @@ def encoder_layer_module(model, dropout: Optional[float] = None
         flash=model.flash, compute_dtype=model.compute_dtype)
 
 
-def encode_pipelined_stacked(layer_mod: TransformerXLLayer, stacked,
+def encode_pipelined_stacked(layer_mod, stacked,
                              x: jax.Array, mesh: Mesh, n_micro: int,
                              attn_mask: Optional[jax.Array] = None,
                              band: Optional[tuple] = None,
                              deterministic: bool = True,
                              dropout_rng: Optional[jax.Array] = None,
                              axis: str = PIPE_AXIS,
-                             data_axis: Optional[str] = None) -> jax.Array:
+                             data_axis: Optional[str] = None,
+                             pos_emb: Optional[jax.Array] = None) -> jax.Array:
     """Pipelined encoder forward from a stacked (n_layer, ...) param tree.
 
     The core the trainer jits (``training.train_step`` with
@@ -142,6 +143,16 @@ def encode_pipelined_stacked(layer_mod: TransformerXLLayer, stacked,
     mesh's data axis.  Differentiable w.r.t. ``stacked`` and ``x``;
     ``deterministic=False`` + ``dropout_rng`` enables training-mode dropout
     (independent mask per stage/tick/layer).
+
+    Two layer families share this scheduler, dispatched on ``pos_emb``:
+
+    * native ``TransformerXLLayer`` (``pos_emb=None``): layer(h, mask,
+      deterministic, band) — ``attn_mask`` is replicated (batch-invariant);
+    * espnet ``EspnetEncoderLayer`` (``pos_emb`` = the (2T-1, D) signed
+      rel-pos table, replicated): layer(h, pos, mask, deterministic) —
+      an ``attn_mask`` with a LEADING BATCH DIM (the pad ∧ band combine is
+      per-row) splits over microbatches like ``x``, and each stage indexes
+      the mask of the microbatch it is currently holding (tick - stage).
 
     Returns (B, T, D), equal to the unpipelined encoder forward (exactly,
     when dropout is off).
@@ -163,12 +174,18 @@ def encode_pipelined_stacked(layer_mod: TransformerXLLayer, stacked,
     if not deterministic and dropout_rng is None:
         raise ValueError("deterministic=False requires a dropout_rng")
     ring = [(j, (j + 1) % n_stages) for j in range(n_stages)]
+    is_espnet = pos_emb is not None
+    # a (B, ...) mask rides the microbatch split; a broadcastable one
+    # (2-D band, or leading dim 1) stays a shared replicated operand
+    split_mask = (attn_mask is not None and attn_mask.ndim >= 3
+                  and attn_mask.shape[0] == b)
     has_mask = attn_mask is not None
     has_rng = dropout_rng is not None
 
-    def fn(stage_params, micro_inputs, mask, rng):
+    def fn(stage_params, micro_inputs, mask, pos, rng):
         # stage_params: this device's (per_stage, ...) slice of the stack;
-        # micro_inputs: (n_micro, bm_local, t, d) — local batch rows
+        # micro_inputs: (n_micro, bm_local, t, d) — local batch rows;
+        # mask: (n_micro, bm_local, ...) when split, else broadcastable
         stage = jax.lax.axis_index(axis)
         per_stage = jax.tree_util.tree_leaves(stage_params)[0].shape[0]
         bm_l = micro_inputs.shape[1]
@@ -178,13 +195,28 @@ def encode_pipelined_stacked(layer_mod: TransformerXLLayer, stacked,
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
 
         def run_stage(h, tk):
+            if split_mask:
+                # the microbatch this stage holds at tick tk is tk - stage
+                # (dead ticks read a clipped row — their outputs fall
+                # outside the valid output window anyway)
+                mi = jnp.clip(tk - stage, 0, n_micro - 1)
+                m = jax.lax.dynamic_index_in_dim(mask, mi, 0, keepdims=False)
+            else:
+                m = mask
+
             def layer_step(hh, xs):
                 p, li = xs
-                if deterministic:
-                    out = layer_mod.apply({"params": p}, hh, mask, True, band)
-                else:
+                key = None
+                if not deterministic:
                     key = jax.random.fold_in(jax.random.fold_in(rng, tk), li)
-                    out = layer_mod.apply({"params": p}, hh, mask, False,
+                if is_espnet:
+                    out = layer_mod.apply(
+                        {"params": p}, hh, pos, m, deterministic,
+                        rngs={} if deterministic else {"dropout": key})
+                elif deterministic:
+                    out = layer_mod.apply({"params": p}, hh, m, True, band)
+                else:
+                    out = layer_mod.apply({"params": p}, hh, m, False,
                                           band, rngs={"dropout": key})
                 return out, None
             out, _ = jax.lax.scan(layer_step, h,
@@ -226,7 +258,14 @@ def encode_pipelined_stacked(layer_mod: TransformerXLLayer, stacked,
     operands = [stacked, micro]
     in_specs = [P(axis), micro_spec]
     if has_mask:
+        if split_mask:
+            attn_mask = attn_mask.reshape((n_micro, bm) + attn_mask.shape[1:])
+            in_specs.append(micro_spec)
+        else:
+            in_specs.append(P())
         operands.append(attn_mask)
+    if is_espnet:
+        operands.append(pos_emb)
         in_specs.append(P())
     if has_rng:
         operands.append(dropout_rng)
@@ -236,13 +275,138 @@ def encode_pipelined_stacked(layer_mod: TransformerXLLayer, stacked,
         i = 2
         mask = ops[i] if has_mask else None
         i += int(has_mask)
+        pos = ops[i] if is_espnet else None
+        i += int(is_espnet)
         rng = ops[i] if has_rng else None
-        return fn(ops[0], ops[1], mask, rng)
+        return fn(ops[0], ops[1], mask, pos, rng)
 
     run = shard_map_compat(wrapper, mesh=mesh, in_specs=tuple(in_specs),
                            out_specs=out_spec)
     out = run(*operands)
     return out[-1].reshape(b, t, d)
+
+
+# ---------------------------------------------------------------------------
+# ESPnet family (VERDICT r4 #4): the espnet encoder after its input layer is
+# the same uniform block stack (reference
+# ``espnet2/asr/encoder/transformer_encoder.py:213-231`` — embed/input layer,
+# then ``repeat`` of identical EncoderLayers, then after_norm), so the blocks
+# pipeline exactly like the native family's; the input layer + positional
+# table + after_norm are tiny and run on the data-parallel part of the mesh
+# around the pipelined stack.
+# ---------------------------------------------------------------------------
+
+def stack_espnet_encoder_layers(enc_params, n_blocks: int):
+    """ESPnet-encoder params -> the MIXED pp layout: the ``layer_i``
+    subtrees stack into one ``"layers"`` tree (leading axis pipe-sharded);
+    the non-block params (embed / input_proj+input_norm / subsample /
+    after_norm) stay replicated beside it."""
+    mixed = {k: v for k, v in enc_params.items() if not k.startswith("layer_")}
+    mixed["layers"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[enc_params[f"layer_{i}"] for i in range(n_blocks)])
+    return mixed
+
+
+def unstack_espnet_encoder_layers(mixed):
+    """Inverse of :func:`stack_espnet_encoder_layers` (canonical checkpoint
+    layout)."""
+    out = {k: v for k, v in mixed.items() if k != "layers"}
+    stacked = mixed["layers"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        out[f"layer_{i}"] = jax.tree_util.tree_map(lambda a: a[i], stacked)
+    return out
+
+
+def espnet_encoder_layer_module(model, dropout: Optional[float] = None):
+    """The espnet model's encoder block as a standalone module (same
+    config/compute dtype as ``model.encoder``'s blocks).  int8-quantized
+    models are rejected (pp is a training path)."""
+    from transformer_transducer_tpu.models.espnet_variant import (
+        EspnetEncoderLayer)
+    if getattr(model, "quant", False):
+        raise NotImplementedError(
+            "pipeline parallelism is a training path; int8-quantized "
+            "(inference) models are not supported")
+    kw = dict(model.enc_kwargs)
+    return EspnetEncoderLayer(
+        n_head=kw["attention_heads"], d_model=kw["output_size"],
+        d_inner=kw["linear_units"],
+        dropout=(kw.get("dropout_rate") or 0.0) if dropout is None
+        else dropout,
+        attn_dropout=kw.get("attention_dropout_rate") or 0.0,
+        quant=False, compute_dtype=model.compute_dtype)
+
+
+def _pure_layer_norm(x, p, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _pure_dropout(x, rate, key, deterministic):
+    if deterministic or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def encode_pipelined_espnet(model, enc_mixed, xs: jax.Array,
+                            lengths: Optional[jax.Array], mesh: Mesh,
+                            n_micro: int, deterministic: bool = True,
+                            dropout_rng: Optional[jax.Array] = None,
+                            axis: str = PIPE_AXIS,
+                            data_axis: Optional[str] = None):
+    """Pipelined espnet-family audio-encoder forward; returns
+    ``(enc (B, T', D), out_lengths)`` equal to ``model.encode`` (exactly,
+    when dropout is off; train-mode dropout masks are valid iid draws but
+    differ from the flax-path-derived ones — the module-level note applies).
+
+    ``enc_mixed`` is the :func:`stack_espnet_encoder_layers` layout.  The
+    input layer (none / embed / linear / conv2d*), sqrt(d) scaling,
+    positional table + dropout, and the final after_norm mirror
+    ``models.espnet_variant.EspnetTransformerEncoder.__call__`` as pure
+    functions / standalone module applies over the replicated non-block
+    params; the pad ∧ band mask is built per batch row and rides the
+    microbatch split through the scheduler."""
+    import math
+
+    from transformer_transducer_tpu.models.espnet_variant import (
+        apply_input_layer_pure, rel_positional_encoding)
+    from transformer_transducer_tpu.ops.masks import (combine_masks,
+                                                      context_mask,
+                                                      padding_mask)
+
+    kw = dict(model.enc_kwargs)
+    d = kw["output_size"]
+    p_rate = kw.get("positional_dropout_rate") or 0.0
+    if not deterministic and dropout_rng is None:
+        raise ValueError("deterministic=False requires a dropout_rng")
+    keys = (jax.random.split(dropout_rng, 4) if not deterministic
+            else (None,) * 4)
+
+    x, lens = apply_input_layer_pure(kw, enc_mixed, xs, lengths, keys[0],
+                                     deterministic)
+    t = x.shape[1]
+    left, right = model.encoder_left_mask, model.encoder_right_mask
+    band = (context_mask(t, left if left >= 0 else t,
+                         right if right >= 0 else t)
+            if (left >= 0 or right >= 0) else None)
+    pad = padding_mask(lens, t)[:, None, :] if lens is not None else None
+    mask = combine_masks(band[None] if band is not None else None, pad)
+
+    x = x * math.sqrt(d)
+    pos = jnp.asarray(rel_positional_encoding(t, d))
+    x = _pure_dropout(x, p_rate, keys[1], deterministic)
+    pos = _pure_dropout(pos, p_rate, keys[2], deterministic)
+
+    layer_mod = espnet_encoder_layer_module(model)
+    h = encode_pipelined_stacked(
+        layer_mod, enc_mixed["layers"], x, mesh, n_micro, attn_mask=mask,
+        deterministic=deterministic, dropout_rng=keys[3], axis=axis,
+        data_axis=data_axis, pos_emb=pos)
+    return _pure_layer_norm(h, enc_mixed["after_norm"]), lens
 
 
 def encode_pipelined(model, variables, x: jax.Array, mesh: Mesh,

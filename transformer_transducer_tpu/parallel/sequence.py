@@ -160,6 +160,148 @@ def encode_banded_sp(model, variables, x: jax.Array, mesh: Mesh,
     return run(*operands)
 
 
+def encode_banded_sp_espnet(model, params, xs: jax.Array,
+                            lengths: Optional[jax.Array], mesh: Mesh,
+                            window_len: Optional[int] = None,
+                            axis: str = SEQ_AXIS,
+                            data_axis: Optional[str] = None,
+                            deterministic: bool = True,
+                            dropout_rng: Optional[jax.Array] = None):
+    """ESPnet-family banded encode with the time axis sharded (VERDICT r4
+    #4, the §3b argument): the sinusoidal signed rel-pos encoding is fully
+    length-shift-invariant (``models/espnet_variant.py`` module notes), so
+    — unlike the native family's pinned-window semantics — every shard's
+    window computes EXACTLY the full-T banded attention restricted to its
+    rows.  ``encode_banded_sp_espnet(...) == model.encode(...)`` up to
+    float reassociation, any shard count, pad masks included.
+
+    Per layer each shard halo-exchanges ``left``/``right`` frames over ICI
+    (``ppermute``), builds a ``window_len`` buffer, masks keys by band ∧
+    absolute-position validity (content bounds + per-row lengths — the dp
+    path's pad∧band combine, window-relative), and keeps its local rows.
+    The input layer / sqrt(d) / positional dropout / after_norm run on the
+    data-parallel part around the shard_map (pointwise or pre-shard).
+
+    Returns ``(enc (B, T, D) logically sharded on T, out_lengths)``.
+    Train-mode dropout uses per-(shard, layer) folded keys; the positional
+    table drops per WINDOW — valid iid draws, different stream than the dp
+    path (parity tests run dropout 0)."""
+    import math
+
+    from transformer_transducer_tpu.models.espnet_variant import (
+        apply_input_layer_pure, rel_positional_encoding)
+    from transformer_transducer_tpu.parallel.pipeline import (
+        _pure_dropout, _pure_layer_norm, espnet_encoder_layer_module)
+
+    kw = dict(model.enc_kwargs)
+    d = kw["output_size"]
+    n_layer = kw["num_blocks"]
+    left, right = model.encoder_left_mask, model.encoder_right_mask
+    if left < 0 or right < 0:
+        raise ValueError("espnet sequence parallelism needs a finite band "
+                         "(model.mask.encoder_left_mask/right_mask >= 0)")
+    if not deterministic and dropout_rng is None:
+        raise ValueError("deterministic=False requires a dropout_rng")
+    p_rate = kw.get("positional_dropout_rate") or 0.0
+    keys = (jax.random.split(dropout_rng, 4) if not deterministic
+            else (None,) * 4)
+    enc_params = params["encoder"]
+
+    x, lens = apply_input_layer_pure(kw, enc_params, xs, lengths, keys[0],
+                                     deterministic)
+    b, t, _ = x.shape
+    n = mesh.shape[axis]
+    if t % n:
+        raise ValueError(f"model-rate T={t} must divide over {n} shards")
+    shard = t // n
+    if shard < max(left, right):
+        raise ValueError(f"shard {shard} must cover the halo "
+                         f"(left {left} / right {right})")
+    w = window_len or pinned_window_len(left, shard, right)
+    if w < left + shard + right:
+        raise ValueError(f"window_len {w} < left+shard+right "
+                         f"{left + shard + right}")
+
+    x = x * math.sqrt(d)
+    x = _pure_dropout(x, p_rate, keys[1], deterministic)
+    pos_w = jnp.asarray(rel_positional_encoding(w, d))
+    pos_w = _pure_dropout(pos_w, p_rate, keys[2], deterministic)
+    band_w = context_mask(w, left, right)
+    layer_mod = espnet_encoder_layer_module(model)
+    n_data = mesh.shape.get(data_axis, 1) if data_axis else 1
+    has_rng = dropout_rng is not None
+    has_len = lens is not None
+
+    send_right = [(j, (j + 1) % n) for j in range(n)]
+    send_left = [(j, (j - 1) % n) for j in range(n)]
+
+    def fn(layer_params, xs_local, lens_local, rng):
+        idx = jax.lax.axis_index(axis)
+        bl = xs_local.shape[0]
+        if has_rng:
+            rng = jax.random.fold_in(rng, idx)
+            if data_axis is not None and n_data > 1:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        off = jnp.where(idx == 0, 0, left)
+        # window slot k holds absolute frame idx*shard + k - off; a key is
+        # valid iff it is real window CONTENT (k < off + shard + right) and
+        # inside the row's valid length — exactly the dp path's key-side
+        # pad mask, window-relative.  (band handles the rest.)
+        k_idx = jnp.arange(w)[None, :]
+        abs_pos = idx * shard + k_idx - off
+        content = k_idx < (off + shard + right)
+        valid_len = (lens_local[:, None] if has_len
+                     else jnp.full((bl, 1), t))
+        key_bad = ~content | (abs_pos >= jnp.minimum(valid_len, t)) \
+            | (abs_pos < 0)
+        mask = band_w[None] | key_bad[:, None, :]      # (bl, w, w)
+
+        h = xs_local
+        for i in range(n_layer):
+            if n > 1 and left > 0:
+                lh = jax.lax.ppermute(h[:, shard - left:], axis, send_right)
+            else:
+                lh = jnp.zeros((bl, left, d), h.dtype)
+            if n > 1 and right > 0:
+                rh = jax.lax.ppermute(h[:, :right], axis, send_left)
+            else:
+                rh = jnp.zeros((bl, right, d), h.dtype)
+            rh = jnp.where(idx == n - 1, 0.0, rh)
+            body = jnp.concatenate([lh, h, rh], axis=1)
+            body = jnp.pad(
+                body, ((0, 0), (0, left + (w - (left + shard + right))),
+                       (0, 0)))
+            window = jax.lax.dynamic_slice_in_dim(body, left - off, w,
+                                                  axis=1)
+            lp = {"params": layer_params[f"layer_{i}"]}
+            if deterministic:
+                out = layer_mod.apply(lp, window, pos_w, mask, True)
+            else:
+                out = layer_mod.apply(
+                    lp, window, pos_w, mask, False,
+                    rngs={"dropout": jax.random.fold_in(rng, i)})
+            h = jax.lax.dynamic_slice_in_dim(out, off, shard, axis=1)
+        return h
+
+    layer_params = {k: v for k, v in enc_params.items()
+                    if k.startswith("layer_")}
+    xspec = P(data_axis if data_axis is not None and n_data > 1 else None,
+              axis, None)
+    lspec = P(data_axis if data_axis is not None and n_data > 1 else None)
+    operands = [layer_params, x,
+                lens if has_len else jnp.zeros((b,), jnp.int32)]
+    in_specs = [P(), xspec, lspec]
+    if has_rng:
+        operands.append(dropout_rng)
+        in_specs.append(P())
+    wrapper = (fn if has_rng
+               else (lambda lp, xs_, ls: fn(lp, xs_, ls, None)))
+    run = shard_map_compat(wrapper, mesh=mesh, in_specs=tuple(in_specs),
+                           out_specs=xspec)
+    h = run(*operands)
+    return _pure_layer_norm(h, enc_params["after_norm"]), lens
+
+
 def encode_banded_sp_oracle(model, variables, x: jax.Array, n: int,
                             left: int, right: int,
                             window_len: Optional[int] = None) -> jax.Array:

@@ -82,9 +82,24 @@ def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = None) -> An
                 "pipeline parallelism composes with the data axis only; "
                 "set n_model=1 when n_pipe>1")
 
+        # native pp layout: the WHOLE encoder subtree is the stacked layer
+        # tree (every key was layer_i) -> pipe-shard all of it.  espnet pp
+        # layout is MIXED (parallel.pipeline.stack_espnet_encoder_layers):
+        # only encoder/"layers" stacks; embed / input_proj / subsample /
+        # after_norm stay replicated.
+        mixed = (isinstance(params, dict)
+                 and isinstance(params.get("encoder"), dict)
+                 and "layers" in params["encoder"])
+
         def pp_spec(path, leaf):
             name = getattr(path[0], "key", getattr(path[0], "name", ""))
-            return P(PIPE_AXIS) if name == "encoder" else P()
+            if name != "encoder":
+                return P()
+            if not mixed:
+                return P(PIPE_AXIS)
+            sub = getattr(path[1], "key", getattr(path[1], "name", "")) \
+                if len(path) > 1 else ""
+            return P(PIPE_AXIS) if sub == "layers" else P()
 
         specs = jax.tree_util.tree_map_with_path(pp_spec, params)
     else:

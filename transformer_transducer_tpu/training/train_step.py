@@ -98,17 +98,49 @@ def make_loss_fn(model, cfg: TrainStepConfig, reduction: str = "mean",
         EspnetTransducer, joint_params_from_espnet_variables)
     is_espnet = isinstance(model, EspnetTransducer)
     if cfg.n_pipe > 1 or cfg.n_seq > 1:
-        if is_espnet:
-            raise NotImplementedError(
-                "pipeline/sequence parallelism covers the native family; "
-                "the espnet family trains dp x tp")
         if mesh is None:
             raise ValueError("n_pipe/n_seq > 1 needs the training mesh")
     if cfg.n_pipe > 1 and cfg.n_seq > 1:
         raise ValueError("n_pipe and n_seq both split the encoder; pick one")
-    if cfg.n_seq > 1 and model.band is None:
+    if cfg.n_seq > 1 and not is_espnet and model.band is None:
         raise ValueError("sequence parallelism needs banded training "
                          "(--banded / model.enc.left_context+right_context)")
+
+    def encode_both_parallel_espnet(params, inputs, inputs_length, targets,
+                                    targets_length, rng, train):
+        """ESPnet-family encode_both with the audio encoder routed through
+        the pp (GPipe) SPMD program (``parallel.pipeline.
+        encode_pipelined_espnet``; ``params["encoder"]`` is the mixed
+        stacked layout); the text encoder and joint stay data-parallel.
+        (The loss maps conv-shortened encoder lengths itself via
+        ``model.encoded_lengths``, same as the dp path.)  With ``n_seq > 1``
+        the audio encoder instead runs time-sharded with halo exchange
+        (``parallel.sequence.encode_banded_sp_espnet`` — EXACT vs the dp
+        encode; the espnet rel-pos is shift-invariant)."""
+        enc_rng, dec_rng = jax.random.split(rng)
+        if cfg.n_pipe > 1:
+            from transformer_transducer_tpu.parallel.pipeline import (
+                encode_pipelined_espnet)
+            enc, _ = encode_pipelined_espnet(
+                model, params["encoder"], inputs, inputs_length, mesh,
+                n_micro=cfg.pipe_micro or 2 * cfg.n_pipe,
+                deterministic=not train,
+                dropout_rng=enc_rng if train else None,
+                data_axis=mesh_lib.DATA_AXIS)
+        else:
+            from transformer_transducer_tpu.parallel.sequence import (
+                encode_banded_sp_espnet)
+            enc, _ = encode_banded_sp_espnet(
+                model, params, inputs, inputs_length, mesh,
+                window_len=cfg.sp_window or None,
+                deterministic=not train,
+                dropout_rng=enc_rng if train else None,
+                data_axis=mesh_lib.DATA_AXIS)
+        dec = model.apply({"params": params}, targets, targets_length,
+                          not train,
+                          rngs={"dropout": dec_rng} if train else {},
+                          method="encode_text")
+        return enc, dec
 
     def encode_both_parallel(params, inputs, targets, rng, train):
         """Native-family encode_both with the audio encoder routed through
@@ -162,7 +194,12 @@ def make_loss_fn(model, cfg: TrainStepConfig, reduction: str = "mean",
         common = dict(deterministic=not train,
                       rngs={"dropout": rng} if train else {},
                       method="encode_both")
-        if is_espnet:
+        if is_espnet and (cfg.n_pipe > 1 or cfg.n_seq > 1):
+            enc, dec = encode_both_parallel_espnet(
+                params, inputs, inputs_length, batch["targets"],
+                batch["targets_length"], rng, train)
+            jp = joint_params_from_espnet_variables(params)
+        elif is_espnet:
             enc, dec = model.apply({"params": params}, inputs,
                                    inputs_length, batch["targets"],
                                    batch["targets_length"], **common)

@@ -93,34 +93,52 @@ class Trainer:
         # device for one param-sized all-gather per step (DESIGN.md §4)
         self.zero = bool(zero if zero is not None else pcfg.zero)
         batch = config.data.batch_size or 1
+        # encoder block count (pipeline stages slice it): espnet keeps it in
+        # enc_kwargs, the native family in the enc tuple
+        self._enc_blocks = (dict(self.model.enc_kwargs)["num_blocks"]
+                            if self.is_espnet else self.model.enc[0])
         if self.n_pipe > 1:
-            if self.is_espnet:
-                raise NotImplementedError("parallel.n_pipe covers the "
-                                          "native family (espnet trains dp x tp)")
             if n_model > 1:
                 raise NotImplementedError("n_pipe composes with the data "
                                           "axis only; set n_model=1")
-            if self.model.enc[0] % self.n_pipe:
-                raise ValueError(f"enc.n_layer={self.model.enc[0]} must "
+            if self._enc_blocks % self.n_pipe:
+                raise ValueError(f"encoder blocks={self._enc_blocks} must "
                                  f"divide over {self.n_pipe} pipeline stages")
             if batch % self.pipe_micro:
                 raise ValueError(f"batch_size={batch} must divide into "
                                  f"{self.pipe_micro} microbatches "
                                  f"(parallel.pipe_micro)")
         if self.n_seq > 1:
-            if self.is_espnet or self.model.band is None:
-                raise ValueError("parallel.n_seq needs native-family banded "
-                                 "training (--banded)")
-            t_max = config.data.max_input_length or 0
+            if self.is_espnet:
+                # espnet band comes from the mask block; sp shards the
+                # MODEL-rate time axis (post conv subsampling, if any)
+                band = (self.model.encoder_left_mask,
+                        self.model.encoder_right_mask)
+                if min(band) < 0:
+                    raise ValueError("parallel.n_seq needs a finite espnet "
+                                     "band (model.mask.encoder_*_mask >= 0)")
+                t_in = config.data.max_input_length or 0
+                il = dict(self.model.enc_kwargs).get("input_layer")
+                from transformer_transducer_tpu.models.espnet_variant import (
+                    _CONV_STACKS)
+                t_max = t_in
+                if il in _CONV_STACKS:
+                    for k, s in _CONV_STACKS[il]:
+                        t_max = (t_max - k) // s + 1
+            elif self.model.band is None:
+                raise ValueError("parallel.n_seq needs banded training "
+                                 "(--banded, or the espnet mask block)")
+            else:
+                band = self.model.band
+                t_max = config.data.max_input_length or 0
             if t_max % self.n_seq:
                 raise ValueError(
-                    f"data.max_input_length={t_max} must divide over "
-                    f"{self.n_seq} sequence shards (e.g. --set "
-                    f"data.max_input_length="
-                    f"{-(-t_max // self.n_seq) * self.n_seq})")
-            if t_max // self.n_seq < max(self.model.band):
+                    f"model-rate max length {t_max} must divide over "
+                    f"{self.n_seq} sequence shards (adjust "
+                    f"data.max_input_length)")
+            if t_max // self.n_seq < max(band):
                 raise ValueError(f"sequence shard {t_max // self.n_seq} "
-                                 f"must cover the band halo {self.model.band}")
+                                 f"must cover the band halo {band}")
         if n_data is None:
             # largest data-axis size that divides the batch (the reference's
             # DataParallel analog requires batch % replicas == 0 too); with
@@ -152,16 +170,16 @@ class Trainer:
             variables = self.model.init(init_rng, dummy_x, dummy_y)
         self.params = variables["params"]
         if self.n_pipe > 1:
-            # pp mode: the encoder lives STACKED (n_layer, ...) for the whole
-            # run, its layer axis sharded over the 'pipe' mesh axis (and,
-            # via opt_state_shardings, so do its optimizer moments) — each
-            # stage device materializes only its own layers.  Checkpoints
-            # stay in the canonical per-layer format via _to/_from_canonical.
-            from transformer_transducer_tpu.parallel.pipeline import (
-                stack_encoder_layers)
+            # pp mode: the encoder blocks live STACKED (n_layer, ...) for the
+            # whole run, the layer axis sharded over the 'pipe' mesh axis
+            # (and, via opt_state_shardings, so do their optimizer moments) —
+            # each stage device materializes only its own layers.  The espnet
+            # family uses the MIXED layout (non-block params replicated
+            # beside the "layers" stack).  Checkpoints stay in the canonical
+            # per-layer format via _to/_from_canonical.
             self.params = dict(self.params)
-            self.params["encoder"] = stack_encoder_layers(
-                self.params["encoder"], self.model.enc[0])
+            self.params["encoder"] = self._pp_stack_fn()(
+                self.params["encoder"])
 
         n_total, n_enc, n_dec = self._count_params()
         self.logger.info("# parameters: total %d | encoder %d | decoder %d | "
@@ -268,6 +286,19 @@ class Trainer:
         dec = sum(jax.tree_util.tree_leaves(sizes["decoder"]))
         return total, enc, dec
 
+    def _pp_stack_fn(self):
+        """Family-dispatched encoder stack function for pp mode."""
+        from transformer_transducer_tpu.parallel import pipeline as pp
+        n = self._enc_blocks
+        if self.is_espnet:
+            return lambda enc: pp.stack_espnet_encoder_layers(enc, n)
+        return lambda enc: pp.stack_encoder_layers(enc, n)
+
+    def _pp_unstack_fn(self):
+        from transformer_transducer_tpu.parallel import pipeline as pp
+        return (pp.unstack_espnet_encoder_layers if self.is_espnet
+                else pp.unstack_encoder_layers)
+
     def _to_canonical(self, tree):
         """pp mode stores the encoder stacked (pipe-sharded); checkpoints
         stay in the canonical per-layer layout so they interchange with
@@ -275,17 +306,15 @@ class Trainer:
         if self.n_pipe <= 1:
             return tree
         from transformer_transducer_tpu.parallel.pipeline import (
-            convert_encoder_subtrees, unstack_encoder_layers)
-        return convert_encoder_subtrees(tree, unstack_encoder_layers)
+            convert_encoder_subtrees)
+        return convert_encoder_subtrees(tree, self._pp_unstack_fn())
 
     def _from_canonical(self, tree):
         if self.n_pipe <= 1:
             return tree
         from transformer_transducer_tpu.parallel.pipeline import (
-            convert_encoder_subtrees, stack_encoder_layers)
-        n = self.model.enc[0]
-        return convert_encoder_subtrees(
-            tree, lambda enc: stack_encoder_layers(enc, n))
+            convert_encoder_subtrees)
+        return convert_encoder_subtrees(tree, self._pp_stack_fn())
 
     def _maybe_load(self):
         tcfg = self.config.training
@@ -489,10 +518,13 @@ class Trainer:
         bspec = mesh_lib.batch_sharding(self.mesh)
         rspec = mesh_lib.replicated(self.mesh)
 
-        if self.n_pipe > 1:
+        if self.n_pipe > 1 and not self.is_espnet:
             from transformer_transducer_tpu.parallel.pipeline import (
                 encoder_layer_module, encode_pipelined_stacked)
             pp_layer = encoder_layer_module(self.model, dropout=0.0)
+        elif self.n_pipe > 1:
+            from transformer_transducer_tpu.parallel.pipeline import (
+                encode_pipelined_espnet)
 
         @functools.partial(jax.jit, in_shardings=(pspecs, bspec, bspec),
                            out_shardings=rspec)
@@ -508,7 +540,11 @@ class Trainer:
                     factor=f_, log_variant=var_)
             # espnet family: second positional arg is lengths (pad mask);
             # native family: it is the (absent) attention mask
-            if self.n_pipe > 1:
+            if self.n_pipe > 1 and self.is_espnet:
+                enc, _ = encode_pipelined_espnet(
+                    self.model, params["encoder"], inputs, t_len, self.mesh,
+                    n_micro=self.pipe_micro, data_axis=mesh_lib.DATA_AXIS)
+            elif self.n_pipe > 1:
                 # pp mode keeps the encoder stacked/pipe-sharded: evaluate
                 # through the same GPipe program (deterministic)
                 enc = encode_pipelined_stacked(
