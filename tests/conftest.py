@@ -21,3 +21,27 @@ if os.environ.get("TTX_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-tier coverage (redundant-angle property sweeps and "
+        "multi-minute smokes whose core behavior a cheaper default test "
+        "already pins).  Run with TTX_TEST_SLOW=1 or -m slow.")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite = everything not marked slow (VERDICT r4 #7: hold the
+    suite's wall-clock line).  The slow tier stays one env var away."""
+    if os.environ.get("TTX_TEST_SLOW") == "1":
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return   # explicit -m selection wins
+    skip = pytest.mark.skip(
+        reason="slow tier: set TTX_TEST_SLOW=1 (or -m slow) to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -93,8 +93,16 @@ def _assert_stable(losses, trainer, descent_ratio):
 
 
 def test_depth18_bf16_remat_dropout_stability_smoke(tmp_path):
-    """Default-on: 18 post-LN layers x ~120 bf16+remat+dropout updates stay
-    finite (zero nan-guard trips) and clearly descend."""
+    """Default-on: 18 post-LN layers x ~60 bf16+remat+dropout updates stay
+    finite (zero nan-guard trips) and clearly descend.  Trimmed from 60 to
+    30 epochs in round 5 (VERDICT r4 #7 — hold the suite wall-clock line);
+    the longer regimes live in the slow/opt-in variants below."""
+    losses, trainer = _run(tmp_path, dropout=0.1, epochs=30)
+    _assert_stable(losses, trainer, descent_ratio=0.75)
+
+
+@pytest.mark.slow  # the round-4 full-length smoke, kept in the slow tier
+def test_depth18_bf16_remat_dropout_stability_full(tmp_path):
     losses, trainer = _run(tmp_path, dropout=0.1, epochs=60)
     _assert_stable(losses, trainer, descent_ratio=0.6)
 
@@ -106,3 +114,18 @@ def test_depth18_reference_dropout_stability(tmp_path):
     (joint_streaming.yaml:47) over a few hundred updates."""
     losses, trainer = _run(tmp_path, dropout=0.5, epochs=200)
     _assert_stable(losses, trainer, descent_ratio=0.8)
+
+
+@pytest.mark.skipif(os.environ.get("TTX_TEST_TPU") != "1",
+                    reason="on-chip depth-18 gate; set TTX_TEST_TPU=1")
+def test_depth18_real_bf16_on_chip(tmp_path):
+    """VERDICT r4 #5: the depth-18 stability proof in the REAL chip's bf16.
+
+    The CPU smoke above runs f32-EMULATED bf16; the MXU's native bf16
+    multiply with f32 accumulation (and its different rounding/accumulation
+    grouping) is the numerics the flagship would actually train in.  Same
+    recipe — 18 post-LN layers, bf16 + remat + dropout + nan-guard,
+    warmup-hold-decay — ~100 updates on the chip: every epoch loss finite,
+    zero nan-guard trips, clear descent."""
+    losses, trainer = _run(tmp_path, dropout=0.1, epochs=50)
+    _assert_stable(losses, trainer, descent_ratio=0.7)

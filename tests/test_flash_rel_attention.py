@@ -57,6 +57,7 @@ def test_backward_matches_autodiff(t):
                                    err_msg=f"grad {name}", **TOL)
 
 
+@pytest.mark.slow  # model-level twin of the kernel fwd/bwd parity tests
 def test_model_flash_matches_dense():
     """Transducer(flash=True) training forward + grads == dense path."""
     from transformer_transducer_tpu.models.transducer import Transducer

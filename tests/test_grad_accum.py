@@ -18,8 +18,10 @@ from transformer_transducer_tpu.training import optim as optim_lib
 from transformer_transducer_tpu.training.train_step import (
     TrainStepConfig, compile_train_step)
 from transformer_transducer_tpu.utils.config import Config
+import pytest
 
 
+@pytest.mark.slow  # multi-step equality smoke
 def test_two_accumulated_halves_equal_one_full_step():
     model = Transducer(vocab_size=20, enc=(1, 16, 2, 8, 4, 16),
                        dec=(1, 6, 2, 8, 4, 16), joint_inner=8)

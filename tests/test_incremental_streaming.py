@@ -90,6 +90,7 @@ def test_incremental_session_equals_window_session(n_audio, hop):
     assert got.segments == ref.segments
 
 
+@pytest.mark.slow  # feed-pattern sweep; session==window pins correctness
 def test_incremental_session_feed_pattern_invariant():
     """Chunking of accept_waveform calls must not change the output."""
     model, variables = _model(n_layer=2, seed=11)

@@ -74,6 +74,7 @@ def test_guarded_good_step_matches_unguarded():
     assert _tree_equal(pg, pu) and _tree_equal(og, ou)
 
 
+@pytest.mark.slow  # scan variant of bad_batch_is_skipped
 def test_scan_skips_only_the_bad_step():
     model, tx, mesh, params, opt_state, cfg, step, good, bad = _setup()
     scan = compile_train_scan(model, tx, mesh, params, opt_state, cfg,

@@ -108,6 +108,7 @@ def test_cmvn_rejected_with_on_device_features(corpus):
                      cmvn=object())
 
 
+@pytest.mark.slow  # trainer-level twin of device_frontend_matches_host
 def test_trainer_on_device_features_matches_host(corpus, tmp_path):
     """`data.on_device_features: true` trains the same function: per-epoch
     losses match the host-featurized run to FFT-backend tolerance, and
@@ -131,6 +132,7 @@ def test_trainer_on_device_features_matches_host(corpus, tmp_path):
     assert np.isfinite(cer)
 
 
+@pytest.mark.slow  # augment variant of the trainer-level twin
 def test_trainer_on_device_features_with_augment(corpus, tmp_path):
     """Waveform augmentation stays host-side in raw mode (it operates on
     samples before padding); the run must remain finite."""

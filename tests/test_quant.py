@@ -213,6 +213,7 @@ def test_quantized_streaming_session_matches_float_tokens():
     assert run(model, v) == run(mq, vq)
 
 
+@pytest.mark.slow  # int8 x incremental cross; both factors tested separately
 def test_quantized_incremental_session_matches_quantized_window():
     """Round 4: the int8 refusal is lifted — the incremental layer steps
     route every projection through the same W8A8 dynamic per-row scheme as

@@ -41,6 +41,7 @@ def test_sp_matches_oracle(setup):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # shard-count sweep; oracle test pins correctness
 def test_sp_invariant_in_shard_count(setup):
     """With the window length pinned, the result must not depend on how
     many devices the time axis shards over (1, 2, 4, 8)."""
@@ -54,6 +55,7 @@ def test_sp_invariant_in_shard_count(setup):
         np.testing.assert_allclose(o, outs[0], rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # redundant angle on the oracle test
 def test_sp_interior_matches_dense_path(setup):
     """Away from the right sequence boundary (where sp zeroes absent
     future frames every layer while a single padded window lets the pad
@@ -73,6 +75,7 @@ def test_sp_interior_matches_dense_path(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # edge-band regression; oracle covers the core
 def test_sp_left_zero(setup):
     """left=0 (pure look-ahead band) must still match the oracle — a
     ``h[:, -left:]`` slice would silently grab the WHOLE shard here
@@ -86,6 +89,7 @@ def test_sp_left_zero(setup):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # edge-band regression; oracle covers the core
 def test_sp_right_zero(setup):
     """right=0 (causal band) exchanges no right halo."""
     model, variables, x = setup
