@@ -20,18 +20,23 @@ def build_family(cfg, d_in: int):
     import jax
     import jax.numpy as jnp
 
+    # jit the inits: an EAGER init is hundreds of per-op dispatches (plus,
+    # cold, per-op server compiles) through a remote-relay TPU backend —
+    # measured ~87 s eager vs ~9 s jitted for the 4-layer aishell model and
+    # minutes vs ~18 s at flagship size (CLAUDE.md env gotchas)
     if cfg.model.mask is not None:   # espnet-schema marker
         from transformer_transducer_tpu.models.espnet_variant import (
             build_espnet_transducer)
         model = build_espnet_transducer(cfg.model)
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 8, d_in)),
             jnp.asarray([8]), jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
         return model, variables, True
     from transformer_transducer_tpu.models.transducer import build_transducer
     model = build_transducer(cfg.model)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, d_in)),
-                           jnp.zeros((1, 4), jnp.int32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 8, d_in)),
+                                    jnp.zeros((1, 4), jnp.int32))
     return model, variables, False
 
 

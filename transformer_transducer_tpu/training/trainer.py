@@ -162,12 +162,14 @@ class Trainer:
         dummy_y = jnp.zeros((1, min(config.data.max_target_length, 4)),
                             dtype=jnp.int32)
         self.rng, init_rng = jax.random.split(self.rng)
+        # jitted init: eager init is hundreds of per-op relay dispatches —
+        # minutes of flagship startup on a remote TPU backend (CLAUDE.md)
         if self.is_espnet:
-            variables = self.model.init(
+            variables = jax.jit(self.model.init)(
                 init_rng, dummy_x, jnp.asarray([dummy_x.shape[1]]), dummy_y,
                 jnp.asarray([dummy_y.shape[1]]))
         else:
-            variables = self.model.init(init_rng, dummy_x, dummy_y)
+            variables = jax.jit(self.model.init)(init_rng, dummy_x, dummy_y)
         self.params = variables["params"]
         if self.n_pipe > 1:
             # pp mode: the encoder blocks live STACKED (n_layer, ...) for the
@@ -206,7 +208,9 @@ class Trainer:
                 self.tx, every_k_schedule=ga).gradient_transformation()
             self.logger.info("Gradient accumulation: %d batches per update",
                              ga)
-        self.opt_state = self.tx.init(self.params)
+        # jitted for the same reason as model.init (one program, not one
+        # dispatch per param leaf)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
         self.lr_ctl = optim_lib.LRController(
             lr=config.optim.lr, decay_ratio=config.optim.decay_ratio or 1.0,
             begin_to_adjust=config.optim.begin_to_adjust_lr or 0)
