@@ -1245,6 +1245,12 @@ def _sec_input_pipeline():
     # single-core box — scales ~per-core on real hosts (DESIGN.md §5a)
     RESULTS["input_pipeline_utts_per_s_b32"] = round(utts, 1)
     RESULTS["input_pipeline_audio_s_per_s_b32"] = round(audio, 0)
+    # data.on_device_features: host does file I/O + pad only (int16 waves;
+    # the log-mel frontend runs inside the compiled step) — the feed-rate
+    # row behind DESIGN.md §5a's host-bottleneck removal
+    utts_d, audio_d = bench_input_pipeline(on_device_features=True)
+    RESULTS["input_pipeline_utts_per_s_b32_ondevice"] = round(utts_d, 1)
+    RESULTS["input_pipeline_audio_s_per_s_b32_ondevice"] = round(audio_d, 0)
 
 
 def _sec_real_io():
@@ -1256,6 +1262,15 @@ def _sec_real_io():
     if ms32:
         RESULTS["train_e2e_real_io_vs_synthetic"] = round(
             utts / (32 / (ms32 / 1e3)), 3)
+    # the production fix for the host bottleneck the row above exposes:
+    # data.on_device_features ships int16 waves, frontend inside the
+    # compiled step (host = file I/O + pad only on this 1-core box)
+    utts_d = bench_train_flagship_real_io(on_device_features=True)
+    RESULTS["train_e2e_real_io_utts_per_s_flagship_b32_ondevice"] = round(
+        utts_d, 1)
+    if ms32:
+        RESULTS["train_e2e_real_io_vs_synthetic_ondevice"] = round(
+            utts_d / (32 / (ms32 / 1e3)), 3)
 
 
 def _sec_train_espnet():
