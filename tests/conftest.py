@@ -19,6 +19,19 @@ import jax
 
 if os.environ.get("TTX_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache: the suite's heavy tests are dominated by
+    # CPU compiles of 8-device SPMD programs (measured: the zero-dp parity
+    # test is 65 s cold / 24 s warm).  First run pays full compile cost;
+    # re-runs (local dev, CI retries, the slow tier) reuse it.  Override the
+    # location with TTX_TEST_CACHE_DIR; set TTX_TEST_CACHE_DIR=0 to disable.
+    _cache = os.environ.get("TTX_TEST_CACHE_DIR", "")
+    if _cache != "0":
+        if not _cache:
+            _cache = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -226,6 +226,7 @@ def test_espnet_pp_encode_conv_input_layer():
     np.testing.assert_array_equal(np.asarray(lens_pp), np.asarray(lens_ref))
 
 
+@pytest.mark.slow  # redundant angle: espnet sp train-step dp-parity (default) exercises the sharded encode end-to-end
 def test_espnet_sp_encode_matches_dense():
     """espnet sequence parallelism is EXACT (not pinned-window): the signed
     sinusoidal rel-pos is shift-invariant, so the time-sharded halo-exchange
@@ -301,6 +302,7 @@ def corpus(tmp_path_factory):
     return root, vocab_path, csvs
 
 
+@pytest.mark.slow  # trainer-level wiring over the default-on step-level pp dp-parity
 def test_pp_trainer_matches_dp_trainer(corpus, tmp_path):
     """`parallel.n_pipe: 2` in the config trains the SAME function as the
     plain dp trainer: per-epoch losses match, the saved checkpoint is the
@@ -348,6 +350,7 @@ def test_pp_trainer_matches_dp_trainer(corpus, tmp_path):
                         jax.device_get(t_pp.params), rtol=0, atol=0)
 
 
+@pytest.mark.slow  # trainer-level wiring over the default-on espnet step-level pp dp-parity
 def test_espnet_pp_trainer_matches_dp_trainer(tmp_path):
     """`parallel.n_pipe: 2` on an ESPNET config: per-epoch losses match the
     plain dp trainer, eval decodes through the pipelined program, and the
@@ -423,6 +426,7 @@ def test_zero_train_step_matches_dp():
         "ZeRO moment shards should tile the leaf exactly")
 
 
+@pytest.mark.slow  # redundant angle: zero+dp and zero+pp parity stay default-on
 def test_zero_composes_with_tp():
     """parallel.zero under a dp2 x tp2 mesh: losses/params match the same
     mesh without zero (tp moments gain a 'data' dim where divisible)."""
