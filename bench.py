@@ -1419,7 +1419,13 @@ def main():
     signal.signal(signal.SIGINT, _on_signal)
     RESULTS["backend"] = jax.default_backend()
     headline_printed = False
+    # debug/dev filter: TTX_BENCH_ONLY="substr1,substr2" runs only the
+    # sections whose name contains one of the substrings
+    only = [s.strip() for s in
+            os.environ.get("TTX_BENCH_ONLY", "").split(",") if s.strip()]
     for name, fn in SECTIONS:
+        if only and not any(s in name for s in only):
+            continue
         if time.time() - T_START > BUDGET_S:
             SKIPPED.append(name)
             continue
